@@ -289,6 +289,26 @@ def add(sk: DDSketch, values: np.ndarray) -> DDSketch:
     return sk
 
 
+def add_weighted(sk: DDSketch, values: np.ndarray, weights: np.ndarray) -> DDSketch:
+    """Insert ``weights[i]`` copies of ``values[i]`` (vectorized multiset
+    insert). Semantically identical to ``add`` on the expanded multiset; used
+    by the Spark operators to ingest pre-aggregated histograms (e.g. token
+    value counts) without materializing the expansion."""
+    values = np.asarray(values, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.int64)
+    if values.size == 0:
+        return sk
+    keys = compute_keys(values, sk.ln_gamma, sk.cfg.offset)
+    uk, inv = np.unique(keys, return_inverse=True)
+    uc = np.rint(
+        np.bincount(inv, weights=weights.astype(np.float64), minlength=len(uk))
+    ).astype(np.int64)
+    sk.keys, sk.counts = _combine(sk.keys, sk.counts, uk, uc)
+    sk.n += int(weights.sum())
+    _collapse_to_limit(sk)
+    return sk
+
+
 def add_one(sk: DDSketch, item: float) -> DDSketch:
     """Single-item insert with the reference's exact eager-collapse timing
     (one fold per overflowing insert for last/first: ddsketch.cc:285-294 is an
@@ -318,6 +338,14 @@ def delete(sk: DDSketch, values: np.ndarray) -> DDSketch:
     last/first bin respectively (reference: ddsketch.cc:414-422, 478-486).
     """
     values = np.asarray(values, dtype=np.float64)
+    return delete_weighted(sk, values, np.ones(values.shape, dtype=np.int64))
+
+
+def delete_weighted(sk: DDSketch, values: np.ndarray, weights: np.ndarray) -> DDSketch:
+    """Delete ``weights[i]`` copies of ``values[i]`` (vectorized multiset
+    delete, same per-key min(c, m) semantics as :func:`delete`)."""
+    values = np.asarray(values, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.int64)
     if values.size == 0 or sk.size == 0:
         return sk
     keys = compute_keys(values, sk.ln_gamma, sk.cfg.offset)
@@ -327,7 +355,10 @@ def delete(sk: DDSketch, values: np.ndarray) -> DDSketch:
         redirect = int(sk.keys[-1]) if sk.cfg.collapse == LAST else int(sk.keys[0])
         keys = np.where(in_range, np.int64(redirect), keys)
 
-    uk, uc = np.unique(keys, return_counts=True)
+    uk, inv = np.unique(keys, return_inverse=True)
+    uc = np.rint(
+        np.bincount(inv, weights=weights.astype(np.float64), minlength=len(uk))
+    ).astype(np.int64)
     pos = np.searchsorted(sk.keys, uk)
     valid = (pos < sk.size) & (sk.keys[np.minimum(pos, sk.size - 1)] == uk)
     dec = np.zeros(sk.size, dtype=np.int64)
@@ -338,6 +369,47 @@ def delete(sk: DDSketch, values: np.ndarray) -> DDSketch:
     sk.keys = sk.keys[keep]
     sk.counts = sk.counts[keep]
     sk.n -= removed
+    return sk
+
+
+def delete_keyed(
+    sk: DDSketch, keys: np.ndarray, weights: np.ndarray, keys_level: int = 0
+) -> DDSketch:
+    """Delete a pre-keyed histogram: ``weights[i]`` items whose stored bucket
+    key (computed at gamma-level ``keys_level``) is ``keys[i]``.
+
+    Used by the distributed delete path, where the deletion multiset is
+    reduced to a (key, count) histogram JVM-side before reaching Python.
+    Keys are lifted to the sketch's current level via the exact gamma^2
+    remap, then the same min(c, m) per-bin semantics as :func:`delete` apply.
+    """
+    keys = np.asarray(keys, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.int64)
+    if keys.size == 0 or sk.size == 0:
+        return sk
+    if keys_level > sk.level:
+        raise SketchError("delete histogram keyed at finer level than sketch")
+    for _ in range(sk.level - keys_level):
+        keys = collapse_keys(keys, sk.cfg.offset)
+
+    if sk.cfg.collapse in (LAST, FIRST) and sk.min_key <= sk.max_key:
+        in_range = (keys >= sk.min_key) & (keys <= sk.max_key)
+        redirect = int(sk.keys[-1]) if sk.cfg.collapse == LAST else int(sk.keys[0])
+        keys = np.where(in_range, np.int64(redirect), keys)
+
+    uk, inv = np.unique(keys, return_inverse=True)
+    uc = np.rint(
+        np.bincount(inv, weights=weights.astype(np.float64), minlength=len(uk))
+    ).astype(np.int64)
+    pos = np.searchsorted(sk.keys, uk)
+    valid = (pos < sk.size) & (sk.keys[np.minimum(pos, sk.size - 1)] == uk)
+    dec = np.zeros(sk.size, dtype=np.int64)
+    dec[pos[valid]] = np.minimum(uc[valid], sk.counts[pos[valid]])
+    sk.n -= int(dec.sum())
+    sk.counts = sk.counts - dec
+    keep = sk.counts > 0
+    sk.keys = sk.keys[keep]
+    sk.counts = sk.counts[keep]
     return sk
 
 
