@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Query families:
+  - native-path DDSketch quantiles/histograms/deletes over testdata tables
+  - UDAF-path DDSketch over the synthesized north-rule tokens table
+    (tokens/sec is the BASELINE.json headline metric; the tokens fixture is
+    generated once and cached under /tmp/ddsketch_fixtures)
+
+Extra keys beyond the driver contract: tokens_per_sec (north metric),
+values_per_sec, and per-query row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("DDSKETCH_BENCH_DOCS", "60000"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ddsketch_spark.config import Q_GRID, DDSketchConfig
+    from ddsketch_spark.operators import ddsketch_agg as agg
+    from ddsketch_spark.operators import sketch_agg as udaf
+    from ddsketch_spark.sources.fixtures import generate_tokens_table
+
+    tokens_path = generate_tokens_table(BENCH_DOCS)
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ddsketch-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cfg = DDSketchConfig()
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tokens = spark.read.parquet(tokens_path)
+    total_tokens = tokens.agg(F.sum("n_tok")).collect()[0][0]
+    n_lineitem = lineitem.count()
+
+    def timed(fn):
+        t0 = time.monotonic()
+        rows = fn()
+        return time.monotonic() - t0, rows
+
+    queries = {
+        "dds_quantiles_price": lambda: agg.quantiles(
+            lineitem, "l_extendedprice", Q_GRID, cfg
+        ).collect(),
+        "dds_quantiles_price_by_returnflag": lambda: agg.quantiles(
+            lineitem, "l_extendedprice", Q_GRID, cfg, group_cols=("l_returnflag",)
+        ).collect(),
+        "dds_quantiles_events_by_type": lambda: agg.quantiles(
+            events, "value", Q_GRID, cfg, group_cols=("event_type",)
+        ).collect(),
+        "dds_histogram_price": lambda: agg.histogram(
+            lineitem, "l_extendedprice", cfg
+        ).collect(),
+        "dds_delete_quantity": lambda: agg.delete_from_sketch(
+            agg.sketch(lineitem, "l_quantity", cfg),
+            lineitem.where(F.col("l_returnflag") == "R"),
+            "l_quantity",
+            cfg,
+        ).collect(),
+        "dds_udaf_ntok_by_source": lambda: udaf.sketch_udaf(
+            tokens, "n_tok", cfg, group_cols=("source",)
+        ).collect(),
+        "dds_udaf_tokens_global": lambda: udaf.sketch_udaf(
+            tokens, "tokens", cfg, array_col=True
+        ).collect(),
+        "dds_native_tokens_by_source": lambda: agg.sketch(
+            tokens, "tokens", cfg, group_cols=("source",), explode_array=True
+        ).collect(),
+    }
+
+    # warm the JVM + Python workers once (excluded from timings)
+    agg.quantiles(lineitem.limit(1000), "l_extendedprice", (0.5,), cfg).collect()
+
+    results: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name, fn in queries.items():
+        secs, rows = timed(fn)
+        results[name] = round(secs, 3)
+        counts[name] = len(rows)
+
+    token_secs = results["dds_udaf_tokens_global"]
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "ddsketch suite wall-clock (build+merge+quantiles)",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "rows": counts,
+        "bench_docs": BENCH_DOCS,
+        "total_tokens": int(total_tokens),
+        "tokens_per_sec": int(total_tokens / token_secs) if token_secs > 0 else None,
+        "lineitem_rows": int(n_lineitem),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,7 +86,9 @@ def generate_tokens_table(
                 writer = pq.ParquetWriter(
                     os.path.join(out_dir, "part-0.parquet"), batch.schema
                 )
-            writer.write_table(batch)
+            # small row groups so Spark can split a single file into many
+            # input partitions (maxPartitionBytes-aligned scan parallelism)
+            writer.write_table(batch, row_group_size=2048)
             doc0 += m
     finally:
         if writer is not None:
