@@ -1,0 +1,341 @@
+"""Distributed HLL / count-min / Bloom aggregation: the JVM-native path.
+
+Same architecture as the DDSketch path (operators.ddsketch_agg): a codegen'd
+Catalyst expression maps every value to its register/cell/bit JVM-side, a
+``groupBy(...).agg(...)`` does the data-sized reduction with automatic
+map-side partials, and only the tiny per-group aggregated state (<= m
+registers / d*w cells / k*n bits) ever reaches Python or a shuffle.
+
+At 100 TB this is the property that matters: the shuffle after the partial
+aggregate carries at most (#groups x state-size) rows regardless of input
+rows, and membership / point queries are broadcast hash joins against that
+small state -- no data-sized join anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ddsketch_spark.core import bloom as bloom_core
+from ddsketch_spark.core import cms as cms_core
+from ddsketch_spark.core import hll as hll_core
+from ddsketch_spark.core.bloom import BloomConfig
+from ddsketch_spark.core.cms import CMSConfig
+from ddsketch_spark.core.hll import HLLConfig
+from ddsketch_spark.functions.hashing import (
+    HASH_BITS,
+    bitlen_col,
+    hash_col,
+    mixed_hash_col,
+)
+
+_GLOBAL = "__global_group"
+
+
+def _colref(value: Column | str) -> Column:
+    return F.col(value) if isinstance(value, str) else value
+
+
+def _group_schema_prefix(df: DataFrame, group_cols) -> str:
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return "".join(f"{g} {types[g]}, " for g in group_cols)
+
+
+def _grouped(df: DataFrame, group_cols: Sequence[str]):
+    if group_cols:
+        return df.groupBy(*group_cols), list(group_cols)
+    return df.withColumn(_GLOBAL, F.lit(1)).groupBy(_GLOBAL), [_GLOBAL]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_idx_rho(value: Column | str, cfg: HLLConfig) -> tuple[Column, Column]:
+    """JVM columns mirroring core.hll.idx_rho bit-for-bit."""
+    a, b = cfg.hash_ab
+    h = mixed_hash_col(_colref(value), a, b)
+    idx = F.pmod(h, F.lit(cfg.m))
+    rest = F.shiftright(h, cfg.p)  # h >= 0: arithmetic shift == floor div
+    rho = F.lit(HASH_BITS - cfg.p) - bitlen_col(rest) + F.lit(1)
+    return idx, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    value: Column | str,
+    cfg: HLLConfig | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group_cols..., idx, rho) non-zero register maxima -- the data-sized
+    stage; shuffles at most (#groups x 2^p) rows."""
+    cfg = cfg or HLLConfig()
+    idx, rho = hll_idx_rho(value, cfg)
+    keyed = df.select(*group_cols, idx.alias("idx"), rho.alias("rho"))
+    keyed = keyed.where(F.col("idx").isNotNull())
+    return keyed.groupBy(*group_cols, "idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_sketch(
+    df: DataFrame,
+    value: Column | str,
+    cfg: HLLConfig | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group canonical sparse HLL state rows."""
+    cfg = cfg or HLLConfig()
+    regs = hll_registers(df, value, cfg, group_cols)
+    grouped, keys = _grouped(regs, group_cols)
+    out_schema = (
+        _group_schema_prefix(regs, group_cols)
+        + "p int, seed long, idxs array<long>, rhos array<long>"
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = hll_core.add_idx_rho(
+            hll_core.empty(cfg), pdf["idx"].to_numpy(), pdf["rho"].to_numpy()
+        )
+        row = hll_core.to_dict(sk)
+        for g in group_cols:
+            row[g] = pdf[g].iloc[0]
+        return pd.DataFrame([row])
+
+    return grouped.applyInPandas(finalize, schema=out_schema)
+
+
+def hll_estimate(
+    df: DataFrame,
+    value: Column | str,
+    cfg: HLLConfig | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group_cols..., estimate, v_zero, checksum) distinct-count estimates.
+
+    v_zero (empty-register count) and checksum (sum idx*rho) are exact
+    integers -- the strong oracle signals; estimate is deterministic float
+    (see core.hll.harmonic_sum exactness note)."""
+    cfg = cfg or HLLConfig()
+    regs = hll_registers(df, value, cfg, group_cols)
+    grouped, keys = _grouped(regs, group_cols)
+    out_schema = (
+        _group_schema_prefix(regs, group_cols)
+        + "estimate double, v_zero long, checksum long"
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = hll_core.add_idx_rho(
+            hll_core.empty(cfg), pdf["idx"].to_numpy(), pdf["rho"].to_numpy()
+        )
+        row = {
+            "estimate": hll_core.estimate(sk),
+            "v_zero": cfg.m - len(sk.idxs),
+            "checksum": hll_core.register_checksum(sk),
+        }
+        for g in group_cols:
+            row[g] = pdf[g].iloc[0]
+        return pd.DataFrame([row])
+
+    return grouped.applyInPandas(finalize, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+def cms_cell_cols(value: Column | str, cfg: CMSConfig) -> Column:
+    """array<struct<row,col>> of the d cells for a value (JVM-side)."""
+    v = _colref(value)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(hash_col(v, a, b), F.lit(cfg.width)).alias("col"),
+            )
+            for i, (a, b) in enumerate(cfg.hash_abs)
+        ]
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    value: Column | str,
+    cfg: CMSConfig | None = None,
+    group_cols: Sequence[str] = (),
+    weight: Column | str | None = None,
+) -> DataFrame:
+    """(group_cols..., row, col, cnt) exact cell counters. Explode of d
+    structs happens in the same stage as the partial hash agg, so the
+    shuffle carries at most (#groups x d x width) rows."""
+    cfg = cfg or CMSConfig()
+    w = F.lit(1).cast("long") if weight is None else _colref(weight).cast("long")
+    keyed = df.select(
+        *group_cols, F.explode(cms_cell_cols(value, cfg)).alias("cell"), w.alias("w")
+    )
+    return (
+        keyed.where(F.col("cell.col").isNotNull())
+        .groupBy(*group_cols, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value: Column | str,
+    cfg: CMSConfig | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group dense CMS state rows (counters flattened row-major)."""
+    cfg = cfg or CMSConfig()
+    cnts = cms_counters(df, value, cfg, group_cols)
+    grouped, keys = _grouped(cnts, group_cols)
+    out_schema = (
+        _group_schema_prefix(cnts, group_cols)
+        + "depth int, width int, seed long, n long, counters array<long>"
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = cms_core.empty(cfg)
+        flat = pdf["row"].to_numpy() * cfg.width + pdf["col"].to_numpy()
+        n = int(pdf.loc[pdf["row"] == 0, "cnt"].sum())
+        cms_core.add_cells(sk, flat, pdf["cnt"].to_numpy(), n)
+        row = cms_core.to_dict(sk)
+        for g in group_cols:
+            row[g] = pdf[g].iloc[0]
+        return pd.DataFrame([row])
+
+    return grouped.applyInPandas(finalize, schema=out_schema)
+
+
+def cms_point_query(
+    df: DataFrame,
+    value: Column | str,
+    probes: DataFrame,
+    probe_col: str,
+    cfg: CMSConfig | None = None,
+) -> DataFrame:
+    """(probe, est) estimated frequency per probe: min over the d counters,
+    entirely JVM-side -- counters built by groupBy, probes exploded to their
+    d cells and broadcast-joined against the (small) counter table."""
+    cfg = cfg or CMSConfig()
+    cnts = cms_counters(df, value, cfg)
+    pr = probes.select(
+        F.col(probe_col).alias("probe"),
+        F.explode(cms_cell_cols(F.col(probe_col), cfg)).alias("cell"),
+    ).select("probe", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    joined = pr.join(F.broadcast(cnts), ["row", "col"], "left").select(
+        "probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("probe").agg(F.min("cnt").alias("est"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value: Column | str,
+    phi: float,
+    cfg: CMSConfig | None = None,
+) -> DataFrame:
+    """(item, est) candidates with estimated frequency >= phi * N.
+
+    Candidate set here is the distinct items of the input (exact at test
+    scale; CMS guarantees no false negatives over any candidate set). The
+    100 TB path swaps the candidate source for per-partition local top-k
+    (mapInPandas heap) without touching the estimate join."""
+    cfg = cfg or CMSConfig()
+    v = _colref(value)
+    n = df.select(F.count(v).alias("n"))
+    candidates = df.select(v.alias("item")).distinct()
+    est = cms_point_query(df, value, candidates, "item", cfg)
+    return (
+        est.crossJoin(F.broadcast(n))
+        .where(F.col("est") >= F.lit(phi) * F.col("n"))
+        .select(F.col("probe").alias("item"), "est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def bloom_bit_col(value: Column | str, cfg: BloomConfig) -> Column:
+    """array<long> of the k bit positions for a value (JVM-side)."""
+    v = _colref(value)
+    return F.array(
+        *[F.pmod(mixed_hash_col(v, a, b), F.lit(cfg.m_bits)) for (a, b) in cfg.hash_abs]
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value: Column | str,
+    cfg: BloomConfig | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group_cols..., bit) distinct set bit positions."""
+    cfg = cfg or BloomConfig()
+    keyed = df.select(*group_cols, F.explode(bloom_bit_col(value, cfg)).alias("bit"))
+    return keyed.where(F.col("bit").isNotNull()).distinct()
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value: Column | str,
+    cfg: BloomConfig | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group packed-word Bloom state rows."""
+    cfg = cfg or BloomConfig()
+    bits = bloom_bits(df, value, cfg, group_cols)
+    if group_cols:
+        n_df = df.groupBy(*group_cols).agg(F.count(_colref(value)).alias("__n"))
+        bits_g, n_g = bits.groupBy(*group_cols), n_df.groupBy(*group_cols)
+    else:
+        n_df = df.agg(F.count(_colref(value)).alias("__n")).withColumn(_GLOBAL, F.lit(1))
+        bits_g = bits.withColumn(_GLOBAL, F.lit(1)).groupBy(_GLOBAL)
+        n_g = n_df.groupBy(_GLOBAL)
+    out_schema = (
+        _group_schema_prefix(bits, group_cols)
+        + "m_bits int, k int, seed long, n long, words array<long>"
+    )
+
+    def finalize(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame()
+        sk = bloom_core.empty(cfg)
+        n = int(right["__n"].iloc[0]) if len(right) else 0
+        bloom_core.add_bits(sk, left["bit"].to_numpy(), n)
+        row = bloom_core.to_dict(sk)
+        for g in group_cols:
+            row[g] = left[g].iloc[0]
+        return pd.DataFrame([row])
+
+    return bits_g.cogroup(n_g).applyInPandas(finalize, schema=out_schema)
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    value: Column | str,
+    probes: DataFrame,
+    probe_col: str,
+    cfg: BloomConfig | None = None,
+) -> DataFrame:
+    """(probe, might_contain) membership per probe, entirely JVM-side:
+    probes explode to their k bits and broadcast-semi-join the set-bit
+    table; might_contain = all k bits present. No false negatives."""
+    cfg = cfg or BloomConfig()
+    bits = bloom_bits(df, value, cfg)
+    pr = probes.select(
+        F.col(probe_col).alias("probe"),
+        F.explode(bloom_bit_col(F.col(probe_col), cfg)).alias("bit"),
+    )
+    joined = pr.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), ["bit"], "left"
+    )
+    return joined.groupBy("probe").agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set"), F.lit(0))))
+        .alias("might_contain")
+    )
