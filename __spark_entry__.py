@@ -24,13 +24,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return _qs()["dds_quantiles_nchars_by_source"](spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ddsketch_spark.plans.query_suite import queries as _qs
+def _suites():
+    from ddsketch_spark.plans import approx_suite, query_suite
 
-    return _qs()
+    return (query_suite, approx_suite)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for suite in _suites():
+        out.update(suite.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from ddsketch_spark.plans.query_suite import oracle_sql as _os
-
-    return _os()
+    out: dict[str, str] = {}
+    for suite in _suites():
+        out.update(suite.oracle_sql())
+    return out

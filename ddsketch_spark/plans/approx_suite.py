@@ -1,0 +1,195 @@
+"""Oracle-checked queries for the extension sketches (HLL / CMS / Bloom).
+
+Every query here has a *value-level* DuckDB oracle: the SQL re-derives the
+exact same registers / counters / bits from the shared cross-engine hash
+(functions.hashing), so estimates compare exactly (integers) or at
+6-significant-digit mantissa (floats, see functions.ddsketch_sql.sig6).
+
+SQL shape: a `lin` CTE computes the linear universal hash as a column, a
+`mixed` CTE applies the nonlinear h^2-mod-P mix (mix_sql expands its
+argument many times, so it is always applied to a simple column name), and
+the aggregation mirrors the numpy core line by line.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ddsketch_spark.core.bloom import BloomConfig
+from ddsketch_spark.core.cms import CMSConfig
+from ddsketch_spark.core.hll import HLLConfig
+from ddsketch_spark.functions.ddsketch_sql import SIG6_SQL, sig6_mantissa
+from ddsketch_spark.functions.hashing import (
+    HASH_BITS,
+    bitlen_sql,
+    hash_sql,
+    mix_sql,
+)
+from ddsketch_spark.operators import approx_agg as ops
+from ddsketch_spark.sources.tables import read_table
+
+HLL_CFG = HLLConfig(p=12)
+CMS_CFG = CMSConfig(depth=4, width=2048)
+BLOOM_CFG = BloomConfig(m_bits=1 << 16, k=5)
+
+
+# ---------------------------------------------------------------------------
+# HLL: distinct users per event type (+ global distinct parts)
+# ---------------------------------------------------------------------------
+
+def _hll_oracle_sql(table: str, value: str, group: str | None) -> str:
+    cfg = HLL_CFG
+    a, b = cfg.hash_ab
+    m, p = cfg.m, cfg.p
+    gsel = f"{group}, " if group else ""
+    gby = f"GROUP BY {group}" if group else ""
+    rest = f"(hm // {1 << p})"
+    rho = f"({HASH_BITS - p} - {bitlen_sql(rest)} + 1)"
+    return f"""
+WITH lin AS (
+  SELECT {gsel}{hash_sql(value, a, b)} AS h
+  FROM {table} WHERE {value} IS NOT NULL
+),
+mixed AS (SELECT {gsel}{mix_sql('h')} AS hm FROM lin),
+regs AS (
+  SELECT {gsel}hm % {m} AS idx, MAX({rho}) AS rho
+  FROM mixed GROUP BY {gsel}idx
+),
+agg AS (
+  SELECT {gsel}
+         SUM(power(2.0, -rho)) + ({m} - COUNT(*)) AS s,
+         {m} - COUNT(*) AS v_zero,
+         SUM(idx * rho) AS checksum
+  FROM regs {gby}
+),
+est AS (
+  SELECT {gsel}v_zero, checksum,
+         CASE WHEN (CAST({cfg.alpha_m!r} AS DOUBLE) * {m} * {m} / s) <= 2.5 * {m} AND v_zero > 0
+              THEN {m} * ln({m}::DOUBLE / v_zero)
+              ELSE CAST({cfg.alpha_m!r} AS DOUBLE) * {m} * {m} / s END AS estimate
+  FROM agg
+)
+SELECT {gsel}{SIG6_SQL.format(x='estimate')} AS est_m6, v_zero, checksum
+FROM est
+"""
+
+
+def _hll_spark(
+    spark: SparkSession, sf_dir: str, table: str, value: str, group: str | None
+) -> DataFrame:
+    df = read_table(spark, sf_dir, table)
+    out = ops.hll_estimate(df, value, HLL_CFG, group_cols=(group,) if group else ())
+    cols = [group] if group else []
+    return out.select(
+        *cols, sig6_mantissa(F.col("estimate")).alias("est_m6"), "v_zero", "checksum"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS: heavy-hitter part keys
+# ---------------------------------------------------------------------------
+
+def _cms_lin_union(table: str, value: str, cfg: CMSConfig) -> str:
+    """UNION ALL of the d per-row hashed cell streams."""
+    parts = [
+        f"SELECT {i} AS row, {hash_sql(value, a, b)} % {cfg.width} AS col "
+        f"FROM {table} WHERE {value} IS NOT NULL"
+        for i, (a, b) in enumerate(cfg.hash_abs)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _cms_hh_oracle_sql(table: str, value: str, phi: float) -> str:
+    cfg = CMS_CFG
+    return f"""
+WITH counters AS (
+  SELECT row, col, COUNT(*) AS cnt
+  FROM ({_cms_lin_union(table, value, cfg)}) GROUP BY row, col
+),
+n AS (SELECT COUNT({value}) AS n FROM {table}),
+probes AS (SELECT DISTINCT {value} AS item FROM {table} WHERE {value} IS NOT NULL),
+pcells AS (
+  {' UNION ALL '.join(
+      f"SELECT item, {i} AS row, {hash_sql('item', a, b)} % {cfg.width} AS col FROM probes"
+      for i, (a, b) in enumerate(cfg.hash_abs)
+  )}
+),
+est AS (
+  SELECT p.item, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM pcells p LEFT JOIN counters c ON p.row = c.row AND p.col = c.col
+  GROUP BY p.item
+)
+SELECT item, est FROM est, n WHERE est >= CAST({phi!r} AS DOUBLE) * n.n
+"""
+
+
+def _cms_hh_spark(
+    spark: SparkSession, sf_dir: str, table: str, value: str, phi: float
+) -> DataFrame:
+    df = read_table(spark, sf_dir, table)
+    return ops.cms_heavy_hitters(df, value, phi, CMS_CFG)
+
+
+# ---------------------------------------------------------------------------
+# Bloom: membership of probe keys against the lineitem partkey set
+# ---------------------------------------------------------------------------
+
+_N_BLOOM_PROBES = 3000
+
+
+def _bloom_oracle_sql(table: str, value: str) -> str:
+    cfg = BLOOM_CFG
+    exprs = ", ".join(hash_sql(value, a, b) for a, b in cfg.hash_abs)
+    pexprs = ", ".join(hash_sql("probe", a, b) for a, b in cfg.hash_abs)
+    return f"""
+WITH lin AS (
+  SELECT UNNEST([{exprs}]) AS h FROM {table} WHERE {value} IS NOT NULL
+),
+bits AS (SELECT DISTINCT {mix_sql('h')} % {cfg.m_bits} AS bit FROM lin),
+probes AS (SELECT UNNEST(range(0, {_N_BLOOM_PROBES})) AS probe),
+plin AS (SELECT probe, UNNEST([{pexprs}]) AS h FROM probes),
+pbits AS (SELECT probe, {mix_sql('h')} % {cfg.m_bits} AS bit FROM plin)
+SELECT p.probe AS probe, COUNT(*) = COUNT(b.bit) AS might_contain
+FROM pbits p LEFT JOIN bits b ON p.bit = b.bit
+GROUP BY p.probe
+"""
+
+
+def _bloom_spark(spark: SparkSession, sf_dir: str, table: str, value: str) -> DataFrame:
+    df = read_table(spark, sf_dir, table)
+    probes = spark.range(0, _N_BLOOM_PROBES).select(F.col("id").alias("probe"))
+    return ops.bloom_might_contain(df, value, probes, "probe", BLOOM_CFG)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "hll_distinct_users_by_type": lambda s, d: _hll_spark(
+            s, d, "events", "user_id", "event_type"
+        ),
+        "hll_distinct_parts_global": lambda s, d: _hll_spark(
+            s, d, "lineitem", "l_partkey", None
+        ),
+        "cms_heavy_hitter_parts": lambda s, d: _cms_hh_spark(
+            s, d, "lineitem", "l_partkey", 0.0008
+        ),
+        "bloom_membership_partkeys": lambda s, d: _bloom_spark(
+            s, d, "lineitem", "l_partkey"
+        ),
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "hll_distinct_users_by_type": _hll_oracle_sql("events", "user_id", "event_type"),
+        "hll_distinct_parts_global": _hll_oracle_sql("lineitem", "l_partkey", None),
+        "cms_heavy_hitter_parts": _cms_hh_oracle_sql("lineitem", "l_partkey", 0.0008),
+        "bloom_membership_partkeys": _bloom_oracle_sql("lineitem", "l_partkey"),
+    }
