@@ -169,8 +169,28 @@ def _bloom_spark(spark: SparkSession, sf_dir: str, table: str, value: str) -> Da
 # registry
 # ---------------------------------------------------------------------------
 
+def _tdigest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_spark.operators import quantile_agg as qa
+
+    li = read_table(spark, sf_dir, "lineitem")
+    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    return qa.quantiles(li, "l_extendedprice", qa.tdigest_ops(), qs)
+
+
+def _kll_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_spark.operators import quantile_agg as qa
+
+    ev = read_table(spark, sf_dir, "events")
+    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    return qa.quantiles(ev, "value", qa.kll_ops(), qs, group_cols=("event_type",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # rows-only driver checks (no SQL oracle: compaction is partition-
+        # order dependent within the rank bound; accuracy gated in pytest)
+        "tdigest_quantiles_price": _tdigest_spark,
+        "kll_quantiles_events_by_type": _kll_spark,
         "hll_distinct_users_by_type": lambda s, d: _hll_spark(
             s, d, "events", "user_id", "event_type"
         ),
