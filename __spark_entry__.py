@@ -25,9 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _suites():
-    from ddsketch_spark.plans import approx_suite, query_suite
+    from ddsketch_spark.plans import (
+        approx_suite,
+        dedup_suite,
+        query_suite,
+        sim_text_suite,
+        tokens_suite,
+    )
 
-    return (query_suite, approx_suite)
+    return (query_suite, approx_suite, tokens_suite, dedup_suite, sim_text_suite)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

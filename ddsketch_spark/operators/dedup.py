@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.3 /
+north-rule pipeline extensions): exact, MinHash+LSH, SimHash, n-gram
+Jaccard. Everything is Catalyst column math over token arrays -- shingling,
+hashing, min-wise aggregation, banding, and pair verification all run
+JVM-side; the only shuffles are key-grouped aggregations and the
+candidate-pair self-join (which is bucket-local by construction).
+
+Shingle coding: an n-gram of token ids codes to the exact integer
+sum(t_i * (V+1)^(n-1-i)) over vocabulary size V -- collision-free, and
+reproducible in DuckDB SQL for value-level oracles (plans.dedup_suite).
+
+Scale notes (100 TB):
+- exact dedup groups by (length, fingerprint) -- a fixed-width key --
+  instead of raw text, so the shuffle never carries document bodies;
+- MinHash signatures reduce each doc to k int64s in one grouped pass;
+  LSH candidates join on (band, bucket) -- cardinality bounded by bucket
+  co-membership, never all-pairs;
+- pairwise Jaccard verification only ever runs on LSH candidates (or
+  within explicit small groups for the exact variant).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ddsketch_spark.functions.hashing import FOLD31, hash_params, mixed_hash_col
+from ddsketch_spark.operators.text_ops import FP_BASE, FP_MOD, fingerprint_col
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands x 4 rows over 16 minhashes
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(keeper, n_dupes, n_docs): one row per distinct content group; the
+    keeper is the minimum id. Grouping key is (length, md5) -- fixed-width,
+    so the shuffle never carries document bodies; md5 collisions are
+    vanishing and identical in both engines (the DuckDB oracle groups the
+    same way)."""
+    keyed = df.select(
+        F.length(text).alias("len"),
+        F.md5(F.col(text).cast("binary")).alias("fp"),
+        F.col(id_col).alias("id"),
+    )
+    return (
+        keyed.groupBy("len", "fp")
+        .agg(
+            F.min("id").alias("keeper"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("keeper", "n_dupes", "n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def shingle_col(tokens: Column, n: int, vocab_size: int) -> Column:
+    """array<long> of n-gram shingle codes (positions 0..len-n)."""
+    if n < 1 or n > 3:
+        raise ValueError("shingle n must be in 1..3")
+    base = F.lit(vocab_size + 1)
+    if n == 1:
+        return F.transform(tokens, lambda t: t.cast("long"))
+    idxs = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
+    if n == 2:
+        return F.transform(
+            idxs,
+            lambda i: F.element_at(tokens, i).cast("long") * base
+            + F.element_at(tokens, i + 1).cast("long"),
+        )
+    return F.transform(
+        idxs,
+        lambda i: (
+            F.element_at(tokens, i).cast("long") * base
+            + F.element_at(tokens, i + 1).cast("long")
+        )
+        * base
+        + F.element_at(tokens, i + 2).cast("long"),
+    )
+
+
+def doc_shingles(
+    df: DataFrame,
+    tokens: Column | str,
+    n: int,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(id_col, extra..., shingle) distinct shingles per document."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    return df.select(
+        id_col,
+        *extra_cols,
+        F.explode(F.array_distinct(shingle_col(t, n, vocab_size))).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_col, m0..m{k-1}) min-wise signatures: one grouped pass with k
+    min() aggregates over the mixed 61-bit hash (min over a linear-only
+    hash would be biased -- see functions.hashing)."""
+    aggs = [
+        F.min(mixed_hash_col(F.col("shingle"), a, b)).alias(f"m{j}")
+        for j, (a, b) in enumerate(hash_params(num_hashes, seed))
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def band_bucket_expr(cols: Sequence[str]) -> Column:
+    """Fold a band's minhashes into one bucket key: int64-safe rolling hash
+    over the 31-bit folds of each signature."""
+    acc = F.lit(0).cast("long")
+    for c in cols:
+        acc = F.pmod(acc * F.lit(FP_BASE) + F.pmod(F.col(c), F.lit(FOLD31)), F.lit(FP_MOD))
+    return acc
+
+
+def lsh_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id_col, band, bucket): each doc lands in `bands` buckets; docs
+    sharing any bucket are near-dup candidates (prob 1-(1-j^r)^b)."""
+    r = num_hashes // bands
+    per_band = [
+        signatures.select(
+            F.col(id_col),
+            F.lit(band).alias("band"),
+            band_bucket_expr([f"m{band * r + i}" for i in range(r)]).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs from bucket co-membership.
+    The self-join is on (band, bucket) -- never all-pairs."""
+    a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a"))
+    b = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs (or all pairs within ``group_col``
+    when ``pairs`` is None): |A n B| / |A u B| over distinct shingles.
+    Output (doc_a, doc_b, inter, size_a, size_b, jaccard)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    join_keys = ["shingle"] + ([group_col] if group_col else [])
+    a = shingles.withColumnRenamed(id_col, "doc_a")
+    b = shingles.withColumnRenamed(id_col, "doc_b")
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "inner")
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= F.lit(threshold))
+    return out.select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(
+    tokens_df: DataFrame,
+    tokens: Column | str = "tokens",
+    id_col: str = "doc_id",
+    seed: int = 43,
+) -> DataFrame:
+    """(id_col, simhash): 16-bit charikar fingerprint over token unigrams
+    weighted by occurrence count. Bit b is set when the count-weighted sum
+    of (+-1 per token's hash bit b) is positive. One explode + one grouped
+    aggregation; ties (sum == 0) resolve to 0."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    a, b = hash_params(1, seed)[0]
+    tok = tokens_df.select(F.col(id_col), F.explode(t).alias("token"))
+    counted = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    h = mixed_hash_col(F.col("token"), a, b)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{bit}")
+        for bit in range(SIMHASH_BITS)
+    ]
+    sums = counted.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for bit in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), fp.alias("simhash"))

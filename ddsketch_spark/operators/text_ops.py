@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines, JVM-side throughout.
+
+Word tokenization, deterministic vocabulary coding, rolling-hash document
+fingerprints, quality stats, and a language-ID heuristic -- all as Catalyst
+column expressions (split / transform / aggregate / filter higher-order
+functions), so they stay inside whole-stage codegen with no Python in the
+per-row path. Every operator here has an exact DuckDB oracle (the
+vocabulary is the deterministic `row_number() OVER (ORDER BY word)` coding
+both engines can derive independently).
+
+Scale notes: the vocabulary is collected once on the driver (distinct words
+-- bounded by construction for token vocabularies) and re-enters the plan
+as a map literal, so token coding is a pure projection: no explode, no
+join, no shuffle. At 100 TB the same pattern holds with a broadcast-join
+fallback (``tokens_via_join``) for vocabularies too large for a literal.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FP_MOD = (1 << 31) - 1  # rolling-hash modulus (int64-safe: acc*131+x < 2^39)
+FP_BASE = 131
+
+# English-ish stopwords present in synthetic + real corpora alike.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def words_col(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def build_vocab(df: DataFrame, text: str = "text") -> dict[str, int]:
+    """Deterministic vocabulary: distinct words, lexicographic order,
+    ids 1..V (matches `row_number() OVER (ORDER BY word)` in SQL)."""
+    rows = (
+        df.select(F.explode(words_col(text)).alias("word"))
+        .distinct()
+        .orderBy("word")
+        .collect()
+    )
+    return {r["word"]: i + 1 for i, r in enumerate(rows)}
+
+
+def tokens_col(text: Column | str, vocab: dict[str, int]) -> Column:
+    """array<int> token ids via a map literal -- pure projection, no join.
+    Unknown words code to 0."""
+    m = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    return F.transform(words_col(text), lambda w: F.coalesce(m[w], F.lit(0)))
+
+
+def tokens_via_join(df: DataFrame, vocab_df: DataFrame, text: str = "text") -> DataFrame:
+    """Broadcast-join fallback for large vocabularies: posexplode ->
+    broadcast join -> re-assemble in position order."""
+    words = df.select(
+        "*", F.posexplode(words_col(text)).alias("__pos", "__word")
+    )
+    joined = words.join(
+        F.broadcast(vocab_df.withColumnRenamed("word", "__word")), "__word", "left"
+    )
+    others = [c for c in df.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "token"))).alias("__pt"))
+        .withColumn("tokens", F.col("__pt.token"))
+        .drop("__pt")
+    )
+
+
+def fingerprint_col(tokens: Column) -> Column:
+    """Rolling polynomial hash over token ids, mod 2^31-1 (document
+    fingerprint; order-sensitive, so reordered near-dups differ)."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(FP_BASE) + x.cast("long"), F.lit(FP_MOD)),
+    )
+
+
+def text_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_words, n_chars, avg_word_len, stopword_ratio, distinct_ratio)
+    quality-scoring features, all codegen'd column math."""
+    w = words_col(text)
+    n_words = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_chars = F.length(F.col(text))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        # avg word length = (chars - separators) / words, exact rational ->
+        # compare as 6-digit mantissa
+        ((n_chars - (n_words - 1)).cast("double") / n_words).alias("avg_word_len"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (F.size(F.array_distinct(w)).cast("double") / n_words).alias("distinct_ratio"),
+    )
+
+
+def langid(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram-free language-ID heuristic: stopword density vote. Scores 'en'
+    when >= 3% of words are English stopwords, else 'unk'. (A real pipeline
+    would vote over per-language stopword tables; the operator shape --
+    pure column expressions, one pass -- is what matters at scale.)"""
+    w = words_col(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(w)
+    return df.select(
+        F.col(id_col),
+        ratio.alias("en_score"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def token_count_regex(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token counting: words + punctuation clusters as separate
+    tokens (regexp over the raw text; whitespace count as cross-check)."""
+    t = F.col(text)
+    bpe = F.size(F.expr(f"regexp_extract_all({text}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+    ws = F.size(F.split(t, " "))
+    return df.select(
+        F.col(id_col),
+        bpe.cast("long").alias("n_tok_bpe"),
+        ws.cast("long").alias("n_tok_ws"),
+    )

@@ -141,7 +141,7 @@ def _cms_hh_spark(
 _N_BLOOM_PROBES = 3000
 
 
-def _bloom_oracle_sql(table: str, value: str) -> str:
+def _bloom_oracle_sql(table: str, value: str, n_probes: int = _N_BLOOM_PROBES) -> str:
     cfg = BLOOM_CFG
     exprs = ", ".join(hash_sql(value, a, b) for a, b in cfg.hash_abs)
     pexprs = ", ".join(hash_sql("probe", a, b) for a, b in cfg.hash_abs)
@@ -150,7 +150,7 @@ WITH lin AS (
   SELECT UNNEST([{exprs}]) AS h FROM {table} WHERE {value} IS NOT NULL
 ),
 bits AS (SELECT DISTINCT {mix_sql('h')} % {cfg.m_bits} AS bit FROM lin),
-probes AS (SELECT UNNEST(range(0, {_N_BLOOM_PROBES})) AS probe),
+probes AS (SELECT UNNEST(range(0, {n_probes})) AS probe),
 plin AS (SELECT probe, UNNEST([{pexprs}]) AS h FROM probes),
 pbits AS (SELECT probe, {mix_sql('h')} % {cfg.m_bits} AS bit FROM plin)
 SELECT p.probe AS probe, COUNT(*) = COUNT(b.bit) AS might_contain

@@ -1,0 +1,251 @@
+"""Similarity-search and text-analysis queries, with value-level oracles.
+
+Cosine math is bit-identical across engines because both fold the arrays
+sequentially in float64 (Spark `aggregate` HOF == DuckDB `list_reduce` with
+a prepended 0.0 accumulator); estimates still compare at 6-digit mantissa
+for libm-sqrt safety. Everything else is exact integer / rational math.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ddsketch_spark.functions.ddsketch_sql import SIG6_SQL, sig6_mantissa
+from ddsketch_spark.operators import similarity as sim
+from ddsketch_spark.operators import text_ops
+from ddsketch_spark.operators.text_ops import STOPWORDS, build_vocab, tokens_col
+from ddsketch_spark.plans.tokens_suite import VOCAB_SQL
+from ddsketch_spark.sources.tables import read_table
+
+_TOPK = 5
+_N_PROBES = 10
+_COS_TAU = 0.4  # synthetic-corpus calibration (~300 pairs @ sf0.01)
+_N_PLANES = 8
+
+
+# SQL: sequential float64 dot product / norm over FLOAT[] columns.
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+# 1. brute-force cosine top-k ------------------------------------------------
+
+def _topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = sim.cosine_topk(emb, probes, _TOPK)
+    return out.select(
+        "probe_id", "rank", "neighbor", sig6_mantissa(F.col("cosine")).alias("cos_m6")
+    )
+
+
+_TOPK_SQL = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id < {_N_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor,
+         {_cos_sql('p.pvec', 'e.embedding')} AS cosine
+  FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+)
+SELECT probe_id, rank, neighbor, {SIG6_SQL.format(x='cosine')} AS cos_m6
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+# 2. hyperplane-LSH bucketed ANN ---------------------------------------------
+
+def _lsh_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = sim.lsh_ann(emb, probes, _TOPK, n_planes=_N_PLANES)
+    return out.select(
+        "probe_id", "rank", "neighbor", sig6_mantissa(F.col("cosine")).alias("cos_m6")
+    )
+
+
+def _lsh_ann_oracle_sql() -> str:
+    planes = sim.hyperplanes(_N_PLANES, sim.EMB_DIM)
+    plane_lits = [
+        "([" + ", ".join(repr(float(c)) for c in plane) + "]::DOUBLE[])"
+        for plane in planes
+    ]
+    bucket_terms = " + ".join(
+        "(CASE WHEN " + _dot_sql("%s", lit) + " > 0 THEN " + str(1 << j) + " ELSE 0 END)"
+        for j, lit in enumerate(plane_lits)
+    )
+
+    def bucket(vec: str) -> str:
+        return "(" + bucket_terms.replace("%s", vec) + ")"
+
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pvec, {bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < {_N_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, c.vec_id AS neighbor,
+         {_cos_sql('p.pvec', 'c.embedding')} AS cosine
+  FROM c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+)
+SELECT probe_id, rank, neighbor, {SIG6_SQL.format(x='cosine')} AS cos_m6
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+# 3. embedding near-dup pairs ------------------------------------------------
+
+def _cos_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = sim.cosine_pairs(emb, _COS_TAU)
+    return out.select(
+        "vec_a", "vec_b", sig6_mantissa(F.col("cosine")).alias("cos_m6")
+    )
+
+
+_COS_PAIRS_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {SIG6_SQL.format(x=_cos_sql('a.embedding', 'b.embedding'))} AS cos_m6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= CAST({_COS_TAU!r} AS DOUBLE)
+"""
+
+
+# 4. text quality stats ------------------------------------------------------
+
+def _stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.text_stats(read_table(spark, sf_dir, "documents"))
+
+
+_STATS_SQL = f"""
+WITH w AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       len(ws)::BIGINT AS n_words,
+       n_chars::BIGINT AS n_chars,
+       (n_chars - (len(ws) - 1))::DOUBLE / len(ws) AS avg_word_len,
+       len(list_filter(ws, x -> list_contains({list(STOPWORDS)!r}, x)))::DOUBLE / len(ws) AS stopword_ratio,
+       len(list_distinct(ws))::DOUBLE / len(ws) AS distinct_ratio
+FROM w
+"""
+
+
+# 5. language-ID heuristic ---------------------------------------------------
+
+def _langid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.langid(read_table(spark, sf_dir, "documents"))
+
+
+_LANGID_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(ws, x -> list_contains({list(STOPWORDS)!r}, x)))::DOUBLE / len(ws) AS en_score
+  FROM w
+)
+SELECT doc_id, en_score,
+       CASE WHEN en_score >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM s
+"""
+
+
+# 6. rolling-hash document fingerprint ---------------------------------------
+
+def _fp_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs)
+    return docs.select(
+        "doc_id", text_ops.fingerprint_col(tokens_col("text", vocab)).alias("fp")
+    )
+
+
+_FP_SQL = f"""
+WITH toks AS (
+  SELECT wp.doc_id, list(v.token ORDER BY wp.pos) AS tokens
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS word,
+           UNNEST(generate_series(1, len(string_split(text, ' ')))) AS pos
+    FROM documents
+  ) wp JOIN ({VOCAB_SQL}) v USING (word)
+  GROUP BY wp.doc_id
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, tokens),
+                   (acc, x) -> (acc * {text_ops.FP_BASE} + x) % {text_ops.FP_MOD}) AS fp
+FROM toks
+"""
+
+
+# 7. regex token counting ----------------------------------------------------
+
+def _tokcount_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_count_regex(read_table(spark, sf_dir, "documents"))
+
+
+_TOKCOUNT_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_tok_bpe,
+       len(string_split(text, ' '))::BIGINT AS n_tok_ws
+FROM documents
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "ann_cosine_topk": _topk_spark,
+        "ann_lsh_bucketed": _lsh_ann_spark,
+        "emb_cosine_pairs": _cos_pairs_spark,
+        "text_quality_stats": _stats_spark,
+        "text_langid": _langid_spark,
+        "text_fingerprint": _fp_spark,
+        "text_token_count": _tokcount_spark,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "ann_cosine_topk": _TOPK_SQL,
+        "ann_lsh_bucketed": _lsh_ann_oracle_sql(),
+        "emb_cosine_pairs": _COS_PAIRS_SQL,
+        "text_quality_stats": _STATS_SQL,
+        "text_langid": _LANGID_SQL,
+        "text_fingerprint": _FP_SQL,
+        "text_token_count": _TOKCOUNT_SQL,
+    }

@@ -1,0 +1,111 @@
+"""Behavioral tests for the training-data pipeline operators: planted
+near-duplicates must be caught (dedup recall), LSH ANN must agree with
+brute force on shared candidates, fingerprints must be order-sensitive."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.operators import dedup as dd
+from ddsketch_spark.operators import similarity as sim
+from ddsketch_spark.operators import text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_correct):
+    return spark.read.parquet(f"{sf_correct}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def toks(docs):
+    vocab = text_ops.build_vocab(docs)
+    return (
+        docs.select("doc_id", "source", text_ops.tokens_col("text", vocab).alias("tokens")),
+        len(vocab),
+    )
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    twins = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = dd.exact_dedup(docs.unionByName(twins)).cache()
+    dup_groups = out.where(F.col("n_dupes") > 0)
+    assert dup_groups.count() == 20
+    # keeper is always the original (minimum) id
+    assert dup_groups.where(F.col("keeper") >= 1_000_000).count() == 0
+    # non-duplicated docs survive as singleton groups
+    assert out.count() == docs.count()
+
+
+def test_minhash_lsh_recall_on_planted_neardups(spark, docs, toks):
+    toks_df, vsize = toks
+    # perturb: drop the first token -> bigram-shingle Jaccard stays ~0.95
+    twins = toks_df.limit(10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.slice("tokens", 2, F.size("tokens")).alias("tokens"),
+    )
+    all_docs = toks_df.unionByName(twins)
+    sh = dd.doc_shingles(all_docs, "tokens", 2, vsize)
+    pairs = dd.lsh_candidate_pairs(dd.lsh_buckets(dd.minhash_signatures(sh)))
+    verified = dd.jaccard_pairs(sh, pairs=pairs, threshold=0.5)
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in verified.collect()
+    }
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1_000_000)
+        for r in toks_df.limit(10).select("doc_id").collect()
+        # docs must have > ~8 shingles for banding to see them; all do (>=10 words)
+    }
+    missed = planted - found
+    # 16 minhashes, 4x4 banding, j ~= 0.9+: P(miss one) < 1e-2
+    assert len(missed) <= 1, f"LSH missed planted near-dups: {missed}"
+
+
+def test_simhash_similar_docs_close(spark, toks):
+    toks_df, _ = toks
+    twins = toks_df.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.slice("tokens", 2, F.size("tokens")).alias("tokens"),
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in dd.simhash(toks_df.unionByName(twins)).collect()}
+    for r in toks_df.limit(5).collect():
+        a, b = fps[r["doc_id"]], fps[r["doc_id"] + 1_000_000]
+        hamming = bin(a ^ b).count("1")
+        assert hamming <= 4, (r["doc_id"], hamming)
+
+
+def test_lsh_ann_agrees_with_brute_force(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    brute = {
+        (r["probe_id"], r["neighbor"]): r["cosine"]
+        for r in sim.cosine_topk(emb, probes, 50).collect()
+    }
+    approx = sim.lsh_ann(emb, probes, 5).collect()
+    assert len(approx) > 0
+    for r in approx:
+        key = (r["probe_id"], r["neighbor"])
+        if key in brute:  # same pair scored identically by both paths
+            assert r["cosine"] == pytest.approx(brute[key], abs=0.0)
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [3, 2, 1]), (3, [1, 2, 3])], "doc_id long, tokens array<int>"
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", text_ops.fingerprint_col(F.col("tokens")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[3] != fps[2]
+
+
+def test_text_stats_sane(docs):
+    row = text_ops.text_stats(docs).orderBy("doc_id").first()
+    assert row["n_words"] >= 10
+    assert 0.0 <= row["stopword_ratio"] <= 1.0
+    assert row["avg_word_len"] > 1.0
