@@ -28,12 +28,20 @@ def _suites():
     from ddsketch_spark.plans import (
         approx_suite,
         dedup_suite,
+        multimodal_suite,
         query_suite,
         sim_text_suite,
         tokens_suite,
     )
 
-    return (query_suite, approx_suite, tokens_suite, dedup_suite, sim_text_suite)
+    return (
+        query_suite,
+        approx_suite,
+        tokens_suite,
+        dedup_suite,
+        sim_text_suite,
+        multimodal_suite,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -109,3 +109,17 @@ def test_text_stats_sane(docs):
     assert row["n_words"] >= 10
     assert 0.0 <= row["stopword_ratio"] <= 1.0
     assert row["avg_word_len"] > 1.0
+
+
+def test_multimodal_decode_stub_and_real_gate(spark, docs):
+    from ddsketch_spark.operators import multimodal as mm
+
+    payload = mm.attach_binary_payload(docs.limit(10))
+    feats = mm.decode_features(payload).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert 1 <= r["width"] <= mm.FAKE_W and 1 <= r["height"] <= mm.FAKE_H
+    frames = mm.frame_sample(payload, n_frames=4).collect()
+    assert len(frames) == 40
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_real(payload)
