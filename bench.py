@@ -50,6 +50,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import __spark_entry__ as entry
+
+    suite = entry.queries()
+
+    def _suite_q(name):
+        return suite[name](spark, SF_DIR)
+
     cfg = DDSketchConfig()
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -90,6 +97,12 @@ def main() -> None:
         "dds_native_tokens_by_source": lambda: agg.sketch(
             tokens, "tokens", cfg, group_cols=("source",), explode_array=True
         ).collect(),
+        "hll_users_by_type": lambda: _suite_q("hll_distinct_users_by_type").collect(),
+        "cms_heavy_parts": lambda: _suite_q("cms_heavy_hitter_parts").collect(),
+        "bloom_partkeys": lambda: _suite_q("bloom_membership_partkeys").collect(),
+        "dedup_lsh_pairs": lambda: _suite_q("dedup_lsh_pairs_verified").collect(),
+        "ann_cosine_topk": lambda: _suite_q("ann_cosine_topk").collect(),
+        "text_fingerprint": lambda: _suite_q("text_fingerprint").collect(),
     }
 
     # warm the JVM + Python workers once (excluded from timings)
