@@ -1,0 +1,69 @@
+"""CSV source/sink parity and salted-repartition exactness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.config import DDSketchConfig
+from ddsketch_spark.operators import ddsketch_agg as agg
+from ddsketch_spark.operators.partitioning import SALT_COL, repartition_salted, salted_by, skew_profile
+from ddsketch_spark.sources.csv_source import bins_df, read_value_csv
+
+CFG = DDSketchConfig(bin_limit=4096)
+
+
+def test_read_value_csv(spark, tmp_path):
+    p = tmp_path / "vals.csv"
+    p.write_text("1.5\n-2.25\n0.0\nnot_a_number\n42\n")
+    vals = sorted(r["value"] for r in read_value_csv(spark, str(p)).collect())
+    assert vals == [-2.25, 0.0, 1.5, 42.0]
+
+
+def test_bins_csv_parity_with_core(spark, sf_correct):
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    states = agg.sketch(li, "l_quantity", CFG)
+    rows = bins_df(states, CFG).collect()
+    n = li.where(F.col("l_quantity").isNotNull()).count()
+    assert sum(r["count"] for r in rows) == n
+    for r in rows:
+        # bin bounds bracket a positive value range and length is exact
+        assert r["min"] < r["max"]
+        assert r["length"] == pytest.approx(r["max"] - r["min"])
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_salted_histogram_merges_exact(spark, sf_correct):
+    ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+    plain = {
+        (r["event_type"], r["key"]): r["cnt"]
+        for r in agg.histogram(ev, "value", CFG, group_cols=("event_type",)).collect()
+    }
+    salted = salted_by(ev, "event_id", buckets=8)
+    sub = agg.histogram(salted, "value", CFG, group_cols=("event_type", SALT_COL))
+    remerged = {
+        (r["event_type"], r["key"]): r["cnt"]
+        for r in sub.groupBy("event_type", "key").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert remerged == plain
+
+
+def test_salt_deterministic_and_spread(spark, sf_correct):
+    ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+    a = salted_by(ev, "event_id", 16).groupBy(SALT_COL).count().collect()
+    b = salted_by(ev, "event_id", 16).groupBy(SALT_COL).count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = [r["count"] for r in a]
+    assert len(counts) == 16
+    assert max(counts) < 2 * min(counts)  # roughly uniform spread
+    parts = repartition_salted(ev, ["event_type"], "event_id", 8)
+    assert SALT_COL in parts.columns
+
+
+def test_skew_profile(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    prof = skew_profile(docs, "source", top=5).collect()
+    assert len(prof) == 5
+    assert prof[0]["cnt"] >= prof[-1]["cnt"]
+    assert abs(sum(r["fraction"] for r in skew_profile(docs, "source", top=100).collect()) - 1.0) < 1e-9
