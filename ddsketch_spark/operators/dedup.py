@@ -186,14 +186,30 @@ def jaccard_pairs(
     join_keys = ["shingle"] + ([group_col] if group_col else [])
     a = shingles.withColumnRenamed(id_col, "doc_a")
     b = shingles.withColumnRenamed(id_col, "doc_b")
-    inter = (
-        a.join(b, join_keys)
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if pairs is not None:
+        # candidate-bounded: shrink both shingle streams to candidate docs
+        # FIRST (broadcast semi-joins), so the shingle-equality join only
+        # ever produces candidate-pair rows -- never the all-pairs blowup
+        a = a.join(
+            F.broadcast(pairs.select("doc_a").distinct()), "doc_a", "left_semi"
+        )
+        b = b.join(
+            F.broadcast(pairs.select("doc_b").distinct()), "doc_b", "left_semi"
+        )
+        inter = (
+            a.join(b, join_keys)
+            .join(F.broadcast(pairs), ["doc_a", "doc_b"], "left_semi")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
         inter = inter.join(pairs, ["doc_a", "doc_b"], "inner")
+    else:
+        inter = (
+            a.join(b, join_keys)
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")

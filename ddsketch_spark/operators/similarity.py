@@ -59,16 +59,22 @@ def cosine_topk(
 ) -> DataFrame:
     """(probe_id, rank, neighbor, cosine) exact top-k by cosine, ties broken
     by neighbor id (deterministic)."""
+    # norms precomputed once per probe / per corpus row -- the higher-order
+    # fold expressions are interpreted (not codegen'd), so evaluating the
+    # probe norm per (probe x corpus) pair would dominate the plan
     p = probes.select(
-        F.col(probe_id_col), F.col(vec_col).alias("__pvec")
+        F.col(probe_id_col),
+        F.col(vec_col).alias("__pvec"),
+        norm_expr(F.col(vec_col)).alias("__pnorm"),
     )
-    joined = corpus.crossJoin(F.broadcast(p)).where(
+    c = corpus.withColumn("__cnorm", norm_expr(F.col(vec_col)))
+    joined = c.crossJoin(F.broadcast(p)).where(
         F.col(id_col) != F.col(probe_id_col)
     )
     scored = joined.select(
         F.col(probe_id_col),
         F.col(id_col).alias("neighbor"),
-        cosine_expr(F.col("__pvec"), F.col(vec_col)).alias("cosine"),
+        (dot_expr(F.col("__pvec"), F.col(vec_col)) / (F.col("__pnorm") * F.col("__cnorm"))).alias("cosine"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor")
@@ -116,11 +122,14 @@ def lsh_ann(
     the 100 TB path."""
     dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, dim, seed)
-    c = corpus.withColumn("__bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    c = corpus.withColumn(
+        "__bucket", lsh_bucket_expr(F.col(vec_col), planes)
+    ).withColumn("__cnorm", norm_expr(F.col(vec_col)))
     p = probes.select(
         F.col(probe_id_col),
         F.col(vec_col).alias("__pvec"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+        norm_expr(F.col(vec_col)).alias("__pnorm"),
     )
     joined = c.join(F.broadcast(p), "__bucket").where(
         F.col(id_col) != F.col(probe_id_col)
@@ -128,7 +137,7 @@ def lsh_ann(
     scored = joined.select(
         F.col(probe_id_col),
         F.col(id_col).alias("neighbor"),
-        cosine_expr(F.col("__pvec"), F.col(vec_col)).alias("cosine"),
+        (dot_expr(F.col("__pvec"), F.col(vec_col)) / (F.col("__pnorm") * F.col("__cnorm"))).alias("cosine"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor")
@@ -154,11 +163,13 @@ def cosine_pairs(
         *( [block_col] if block_col else [] ),
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("__va"),
+        norm_expr(F.col(vec_col)).alias("__na"),
     )
     b = df.select(
         *( [block_col] if block_col else [] ),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("__vb"),
+        norm_expr(F.col(vec_col)).alias("__nb"),
     )
     joined = a.join(b, [block_col] if block_col else []) if block_col else a.crossJoin(b)
     return (
@@ -166,7 +177,7 @@ def cosine_pairs(
         .select(
             "vec_a",
             "vec_b",
-            cosine_expr(F.col("__va"), F.col("__vb")).alias("cosine"),
+            (dot_expr(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine"),
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
