@@ -199,6 +199,86 @@ FROM keyed GROUP BY key
 
 
 # ---------------------------------------------------------------------------
+# error bounds of the lossy collapse variants (getErrorBound parity,
+# main.cpp:1108-1152) + rollup
+# ---------------------------------------------------------------------------
+
+_EB_LIMIT = 64
+
+
+def _error_bound_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "lineitem")
+    outs = []
+    for collapse in ("last", "first"):
+        cfg = DDSketchConfig(bin_limit=_EB_LIMIT, collapse=collapse)
+        sk = agg.sketch(df, "l_extendedprice", cfg)
+        fat = (
+            F.element_at("counts", -1) if collapse == "last" else F.element_at("counts", 1)
+        )
+        lo = F.lit(0.0) if collapse == "last" else fat.cast("double") / F.col("n")
+        hi = (
+            F.lit(1.0) - fat.cast("double") / F.col("n")
+            if collapse == "last"
+            else F.lit(1.0)
+        )
+        outs.append(
+            sk.select(
+                F.lit(collapse).alias("collapse"),
+                F.col("n"),
+                fat.alias("fat_count"),
+                lo.alias("q_lo"),
+                hi.alias("q_hi"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _error_bound_oracle_sql() -> str:
+    # lazy bulk collapse keeps the (bin_limit - 1) smallest (last-variant) /
+    # largest (first-variant) bins and folds everything else into one fat
+    # tail bin, so fat_count = n - sum(kept counts)
+    keep = _EB_LIMIT - 1
+    return f"""
+WITH keyed AS (
+  SELECT {_key_sql('v')} AS key
+  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL)
+),
+hist AS (SELECT key, COUNT(*) AS c FROM keyed GROUP BY key),
+tot AS (SELECT SUM(c) AS n FROM hist),
+keep_last AS (SELECT SUM(c) AS s FROM (SELECT c FROM hist ORDER BY key ASC LIMIT {keep})),
+keep_first AS (SELECT SUM(c) AS s FROM (SELECT c FROM hist ORDER BY key DESC LIMIT {keep}))
+SELECT 'last' AS collapse, n, n - keep_last.s AS fat_count,
+       0.0 AS q_lo, 1.0 - (n - keep_last.s)::DOUBLE / n AS q_hi
+FROM tot, keep_last
+UNION ALL
+SELECT 'first' AS collapse, n, n - keep_first.s AS fat_count,
+       (n - keep_first.s)::DOUBLE / n AS q_lo, 1.0 AS q_hi
+FROM tot, keep_first
+"""
+
+
+def _rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup (per-source + global) in one result -- the manual
+    grouping-sets pattern (SURVEY.md §2.2)."""
+    df = read_table(spark, sf_dir, "documents")
+    per = _quantiles_spark(spark, sf_dir, "documents", "n_chars", "source")
+    glob = _quantiles_spark(spark, sf_dir, "documents", "n_chars", None).withColumn(
+        "source", F.lit("ALL")
+    )
+    return per.unionByName(glob.select(*per.columns))
+
+
+def _rollup_oracle_sql() -> str:
+    per = _quantile_oracle_sql("documents", "n_chars", "source")
+    glob = _quantile_oracle_sql("documents", "n_chars")
+    return f"""
+SELECT * FROM ({per})
+UNION ALL
+SELECT 'ALL' AS source, q, bucket_key, est_m6, n FROM ({glob})
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -209,6 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_quantiles_events_by_type": lambda s, d: _quantiles_spark(s, d, "events", "value", "event_type"),
         "dds_quantiles_nchars_by_source": lambda s, d: _quantiles_spark(s, d, "documents", "n_chars", "source"),
         "dds_histogram_price": _hist_spark,
+        "dds_error_bound_collapse": _error_bound_spark,
+        "dds_quantiles_rollup": _rollup_spark,
         "dds_histogram_price_collapsed": _collapsed_spark,
         "dds_delete_quantity": _delete_spark,
     }
@@ -221,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         "dds_quantiles_events_by_type": _quantile_oracle_sql("events", "value", "event_type"),
         "dds_quantiles_nchars_by_source": _quantile_oracle_sql("documents", "n_chars", "source"),
         "dds_histogram_price": _HIST_SQL,
+        "dds_error_bound_collapse": _error_bound_oracle_sql(),
+        "dds_quantiles_rollup": _rollup_oracle_sql(),
         "dds_histogram_price_collapsed": _collapsed_oracle_sql(),
         "dds_delete_quantity": _DELETE_SQL,
     }
