@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -132,6 +134,109 @@ def lsh_ann(
         norm_expr(F.col(vec_col)).alias("__pnorm"),
     )
     joined = c.join(F.broadcast(p), "__bucket").where(
+        F.col(id_col) != F.col(probe_id_col)
+    )
+    scored = joined.select(
+        F.col(probe_id_col),
+        F.col(id_col).alias("neighbor"),
+        (dot_expr(F.col("__pvec"), F.col(vec_col)) / (F.col("__pnorm") * F.col("__cnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id_col, "rank", "neighbor", "cosine")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 10,
+):
+    """Deterministic coarse quantizer: Lloyd k-means in float64 numpy over
+    the first `sample` vectors by id (deterministic sample, deterministic
+    init = first n_cells sample vectors, fixed iteration count -- no RNG).
+    Returns an (n_cells, dim) ndarray. Driver-side on a bounded sample;
+    the corpus itself is never collected."""
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _ivf_assign(df: DataFrame, cents, vec_col: str, out_col: str) -> DataFrame:
+    """Nearest-centroid cell per row: Arrow-batched numpy matmul (the 100 TB
+    path for many-centroid assignment; one argmin over a (batch x cells)
+    similarity matrix per batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = cents.astype(np.float64)
+    c2 = (c * c).sum(axis=1) / 2.0
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        scores = x @ c.T - c2[None, :]  # argmax <=> argmin L2
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    n_cells: int = 16,
+    n_probe_cells: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: candidates come only from the probe's
+    `n_probe_cells` nearest inverted-list cells, reranked by exact cosine.
+    Same output shape as cosine_topk/lsh_ann; recall/cost tuned by
+    (n_cells, n_probe_cells)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c = cents.astype(np.float64)
+    c2 = (c * c).sum(axis=1) / 2.0
+    npc = n_probe_cells
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        scores = x @ c.T - c2[None, :]
+        top = np.argsort(-scores, axis=1)[:, :npc].astype(np.int32)
+        return pd.Series(list(top))
+
+    tagged = _ivf_assign(corpus, cents, vec_col, "__cell").withColumn(
+        "__cnorm", norm_expr(F.col(vec_col))
+    )
+    p = probes.select(
+        F.col(probe_id_col),
+        F.col(vec_col).alias("__pvec"),
+        norm_expr(F.col(vec_col)).alias("__pnorm"),
+        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+    )
+    joined = tagged.join(F.broadcast(p), "__cell").where(
         F.col(id_col) != F.col(probe_id_col)
     )
     scored = joined.select(

@@ -132,6 +132,19 @@ FROM ranked WHERE rank <= {_TOPK}
 
 # 3. embedding near-dup pairs ------------------------------------------------
 
+def _ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the coarse quantizer is iterative k-means (not SQL-
+    # expressible); recall + candidate-score exactness gated in pytest
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = sim.ivf_ann(emb, probes, _TOPK, n_cells=16, n_probe_cells=4)
+    return out.select(
+        "probe_id", "rank", "neighbor", sig6_mantissa(F.col("cosine")).alias("cos_m6")
+    )
+
+
 def _cos_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     out = sim.cosine_pairs(emb, _COS_TAU)
@@ -231,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_cosine_topk": _topk_spark,
         "ann_lsh_bucketed": _lsh_ann_spark,
+        "ann_ivf_bucketed": _ivf_spark,
         "emb_cosine_pairs": _cos_pairs_spark,
         "text_quality_stats": _stats_spark,
         "text_langid": _langid_spark,

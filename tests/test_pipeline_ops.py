@@ -123,3 +123,34 @@ def test_multimodal_decode_stub_and_real_gate(spark, docs):
     assert len(frames) == 40
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(payload)
+
+
+def test_ivf_ann_recall_and_exactness(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    brute = {}
+    for r in sim.cosine_topk(emb, probes, 5).collect():
+        brute.setdefault(r["probe_id"], {})[r["neighbor"]] = r["cosine"]
+    ivf = sim.ivf_ann(emb, probes, 5, n_cells=16, n_probe_cells=8)
+    rows = ivf.collect()
+    assert len(rows) > 0
+    hits = total = 0
+    for r in rows:
+        if r["neighbor"] in brute.get(r["probe_id"], {}):
+            # the candidate path must score the same pair identically
+            assert r["cosine"] == pytest.approx(brute[r["probe_id"]][r["neighbor"]], abs=0.0)
+            hits += 1
+        total += 1
+    # probing half the cells should recover most of the true top-5
+    assert hits / (len(brute) * 5) >= 0.5, (hits, total)
+
+
+def test_ivf_centroids_deterministic(spark, sf_correct):
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    import numpy as np
+
+    c1 = sim.ivf_centroids(emb, 8)
+    c2 = sim.ivf_centroids(emb, 8)
+    assert np.array_equal(c1, c2)
