@@ -127,7 +127,9 @@ def _lsh_buckets_oracle_sql() -> str:
 # 4. LSH candidates, verified by exact bigram Jaccard ------------------------
 
 def _lsh_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _bigram_shingles(spark, sf_dir)
+    # the shingle stream feeds three consumers (signatures, intersection,
+    # sizes) -- persist it so the explode runs once, not per consumer
+    sh = _bigram_shingles(spark, sf_dir).persist()
     pairs = dd.lsh_candidate_pairs(dd.lsh_buckets(dd.minhash_signatures(sh)))
     return dd.jaccard_pairs(sh, pairs=pairs, threshold=_LSH_VERIFY_TAU)
 
