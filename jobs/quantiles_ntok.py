@@ -43,34 +43,19 @@ from ddsketch_spark.plans.checkpoint import sketch_with_checkpoint
 
 def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a tokens-shaped table from testdata `documents`: words ->
-    vocabulary ids via a broadcast join against the deterministic vocab
-    (distinct words ordered lexicographically)."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    words = docs.select(
-        F.col("doc_id"), F.col("source"), F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
-    from pyspark.sql import Window
+    vocabulary ids via the deterministic map-literal coding (a pure
+    projection -- no explode, no join, no shuffle; operators.text_ops)."""
+    from ddsketch_spark.operators.text_ops import build_vocab, tokens_col
 
-    vocab = (
-        words.select("word").distinct()
-        .withColumn("token", F.row_number().over(Window.orderBy("word")))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vocab = build_vocab(docs)
+    toks = tokens_col("text", vocab)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        "source",
     )
-    toks = (
-        words.join(F.broadcast(vocab), "word")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "token"))
-            ).alias("pt")
-        )
-        .select(
-            F.col("doc_id").cast("string").alias("doc_id"),
-            F.col("pt.token").alias("tokens"),
-            F.size("pt").cast("int").alias("n_tok"),
-            "source",
-        )
-    )
-    return toks
 
 
 def main() -> None:
