@@ -166,6 +166,29 @@ def _batch_group_values(batch, value: str, group_cols, array_col: bool):
             yield tuple(gkey), vals[codes == gi]
 
 
+class SketchMetrics:
+    """Per-job accumulator bundle (north rule: sketch-size/throughput
+    metrics). Updated inside the build UDF on every partition; read on the
+    driver after an action."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.rows = sc.accumulator(0)
+        self.values = sc.accumulator(0)
+        self.sketch_bins = sc.accumulator(0)
+        self.build_secs = sc.accumulator(0.0)
+
+    def as_dict(self) -> dict:
+        secs = max(self.build_secs.value, 1e-9)
+        return {
+            "rows": self.rows.value,
+            "values": self.values.value,
+            "sketch_bins": self.sketch_bins.value,
+            "partition_build_secs": round(self.build_secs.value, 3),
+            "values_per_cpu_sec": int(self.values.value / secs),
+        }
+
+
 def build_partials(
     df: DataFrame,
     value: str,
@@ -173,6 +196,7 @@ def build_partials(
     group_cols: Sequence[str] = (),
     array_col: bool = False,
     with_lineage: bool = False,
+    metrics: "SketchMetrics | None" = None,
 ) -> DataFrame:
     """One canonical sketch row per (input partition x group).
 
@@ -196,15 +220,20 @@ def build_partials(
         out_schema += ", partition_id int, input_files array<string>"
 
     def build(batches):
+        import time as _time
+
         from pyspark import TaskContext
 
+        t0 = _time.monotonic()
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        n_rows = n_vals = 0
         sketches: dict[tuple, core.DDSketch] = {}
         files: set[str] = set()
         group_fields = None
         for batch in batches:
             if group_fields is None:
                 group_fields = [batch.schema.field(g) for g in group_cols]
+            n_rows += batch.num_rows
             if with_lineage:
                 fcol = batch.column(batch.schema.get_field_index("__file"))
                 files.update(fcol.unique().to_pylist())
@@ -212,7 +241,13 @@ def build_partials(
                 sk = sketches.get(gkey)
                 if sk is None:
                     sk = sketches[gkey] = core.empty(cfg)
+                n_vals += len(vals)
                 _add_values(sk, vals)
+        if metrics is not None:
+            metrics.rows += n_rows
+            metrics.values += n_vals
+            metrics.sketch_bins += sum(s.size for s in sketches.values())
+            metrics.build_secs += _time.monotonic() - t0
         rows = []
         for gkey, sk in sketches.items():
             row = _state_to_row(sk)
@@ -292,7 +327,8 @@ def sketch_udaf(
     group_cols: Sequence[str] = (),
     array_col: bool = False,
     fanout: int | None = None,
+    metrics: SketchMetrics | None = None,
 ) -> DataFrame:
     """values -> per-group canonical sketch states, UDAF-style."""
-    parts = build_partials(df, value, cfg, group_cols, array_col)
+    parts = build_partials(df, value, cfg, group_cols, array_col, metrics=metrics)
     return merge_partials(parts, group_cols, fanout)
