@@ -143,20 +143,23 @@ def lsh_buckets(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """(id_col, band, bucket): each doc lands in `bands` buckets; docs
-    sharing any bucket are near-dup candidates (prob 1-(1-j^r)^b)."""
+    sharing any bucket are near-dup candidates (prob 1-(1-j^r)^b).
+
+    One explode projection (NOT a union of per-band selects, which would
+    re-run the signature aggregation once per band)."""
     r = num_hashes // bands
-    per_band = [
-        signatures.select(
-            F.col(id_col),
-            F.lit(band).alias("band"),
-            band_bucket_expr([f"m{band * r + i}" for i in range(r)]).alias("bucket"),
-        )
-        for band in range(bands)
-    ]
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionByName(p)
-    return out
+    bb = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                band_bucket_expr([f"m{band * r + i}" for i in range(r)]).alias("bucket"),
+            )
+            for band in range(bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.explode(bb).alias("__bb")).select(
+        id_col, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+    )
 
 
 def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
