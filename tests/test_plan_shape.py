@@ -1,0 +1,67 @@
+"""Physical-plan regression gates: the properties that make these operators
+viable at 100 TB must stay visible in the plan -- column-pruned scans,
+pushed filters, map-side partial aggregation before the exchange, and
+broadcast (not shuffle) joins for probe/point lookups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.config import DDSketchConfig
+from ddsketch_spark.core.bloom import BloomConfig
+from ddsketch_spark.core.cms import CMSConfig
+from ddsketch_spark.operators import approx_agg as aops
+from ddsketch_spark.operators import ddsketch_agg as agg
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_histogram_scan_pruned_and_pushed(spark, sf_correct):
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    h = agg.histogram(
+        li.where(F.col("l_returnflag") == "R"), "l_extendedprice", DDSketchConfig()
+    )
+    explained = h._sc._jvm.PythonSQLUtils.explainString(
+        h._jdf.queryExecution(), "formatted"
+    )
+    # predicate pushdown reaches the parquet scan
+    assert "PushedFilters" in explained and "l_returnflag,R" in explained.replace(
+        " ", ""
+    )
+    # column pruning: only the two referenced columns are read
+    assert "l_extendedprice" in explained
+    assert "l_orderkey" not in explained
+    # map-side combine before the exchange
+    assert "partial_count" in explained
+
+
+def test_hll_registers_partial_agg(spark, sf_correct):
+    ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+    regs = aops.hll_registers(ev, "user_id", group_cols=("event_type",))
+    explained = regs._sc._jvm.PythonSQLUtils.explainString(
+        regs._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_max" in explained  # register maxima combine map-side
+    assert "Exchange" in explained
+
+
+def test_bloom_membership_joins_broadcast(spark, sf_correct):
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    probes = spark.range(0, 100).select(F.col("id").alias("probe"))
+    out = aops.bloom_might_contain(li, "l_partkey", probes, "probe", BloomConfig())
+    assert "BroadcastHashJoin" in _plan(out) or "BroadcastHashJoin" in _optimized(out)
+    assert "SortMergeJoin" not in _plan(out)
+
+
+def test_cms_point_query_joins_broadcast(spark, sf_correct):
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    probes = spark.range(0, 100).select(F.col("id").alias("item"))
+    out = aops.cms_point_query(li, "l_partkey", probes, "item", CMSConfig())
+    assert "SortMergeJoin" not in _plan(out)
