@@ -12,9 +12,19 @@ from ddsketch_spark.config import (
     Q_GRID,
     DDSketchConfig,
 )
+from ddsketch_spark.core.bloom import BloomConfig
+from ddsketch_spark.core.cms import CMSConfig
+from ddsketch_spark.core.hll import HLLConfig
+from ddsketch_spark.core.kll import KLLConfig
+from ddsketch_spark.core.tdigest import TDigestConfig
 
 __all__ = [
     "DDSketchConfig",
+    "HLLConfig",
+    "CMSConfig",
+    "BloomConfig",
+    "TDigestConfig",
+    "KLLConfig",
     "DEFAULT_ALPHA",
     "DEFAULT_BIN_LIMIT",
     "DEFAULT_OFFSET",

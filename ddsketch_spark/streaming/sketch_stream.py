@@ -64,6 +64,27 @@ def stream_histogram(
     )
 
 
+def stream_hll_registers(
+    stream_df: DataFrame,
+    value: str,
+    cfg=None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming distinct-count sketch: the HLL register build is an
+    ordinary streaming ``groupBy(idx).max(rho)`` over the codegen'd
+    register columns -- state bounded by #groups x 2^p rows, monotone
+    updates (max), so 'update' output mode emits only improved registers."""
+    from ddsketch_spark.core.hll import HLLConfig
+    from ddsketch_spark.operators.approx_agg import hll_idx_rho
+
+    cfg = cfg or HLLConfig()
+    idx, rho = hll_idx_rho(F.col(value), cfg)
+    keyed = stream_df.select(*group_cols, idx.alias("idx"), rho.alias("rho"))
+    return keyed.where(F.col("idx").isNotNull()).groupBy(*group_cols, "idx").agg(
+        F.max("rho").alias("rho")
+    )
+
+
 _STATE_SCHEMA = (
     "alpha0 double, level int, offset long, bin_limit int, collapse string, "
     "n long, min_key long, max_key long, keys array<long>, counts array<long>"

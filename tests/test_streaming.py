@@ -98,3 +98,22 @@ def test_stream_stateful_sketch_equals_batch(spark, sf_correct, events_stream):
         for r in agg.quantiles(batch, "value", qs, CFG, group_cols=("event_type",)).collect()
     }
     assert got == want
+
+
+def test_stream_hll_equals_batch(spark, sf_correct, events_stream):
+    from ddsketch_spark.core.hll import HLLConfig
+    from ddsketch_spark.operators import approx_agg as aops
+
+    cfg = HLLConfig(p=10)
+    out = ss.stream_hll_registers(events_stream, "user_id", cfg, group_cols=("event_type",))
+    _run_to_memory(out, "hll_stream", "complete")
+    got = {
+        (r["event_type"], r["idx"]): r["rho"]
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    batch = spark.read.parquet(f"{sf_correct}/events.parquet")
+    want = {
+        (r["event_type"], r["idx"]): r["rho"]
+        for r in aops.hll_registers(batch, "user_id", cfg, group_cols=("event_type",)).collect()
+    }
+    assert got == want
