@@ -247,9 +247,20 @@ def cms_heavy_hitters(
     (mapInPandas heap) without touching the estimate join."""
     cfg = cfg or CMSConfig()
     v = _colref(value)
-    n = df.select(F.count(v).alias("n"))
+    cnts = cms_counters(df, value, cfg)
+    # N = total inserted = sum of any one counter row (row 0): no extra scan
+    n = cnts.where(F.col("row") == 0).agg(F.sum("cnt").alias("n"))
     candidates = df.select(v.alias("item")).distinct()
-    est = cms_point_query(df, value, candidates, "item", cfg)
+    pr = candidates.select(
+        F.col("item").alias("probe"),
+        F.explode(cms_cell_cols(F.col("item"), cfg)).alias("cell"),
+    ).select("probe", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    est = (
+        pr.join(F.broadcast(cnts), ["row", "col"], "left")
+        .select("probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy("probe")
+        .agg(F.min("cnt").alias("est"))
+    )
     return (
         est.crossJoin(F.broadcast(n))
         .where(F.col("est") >= F.lit(phi) * F.col("n"))
