@@ -63,22 +63,33 @@ def histogram(
     cfg: DDSketchConfig | None = None,
     group_cols: Sequence[str] = (),
     explode_array: bool = False,
+    weight: Column | str | None = None,
 ) -> DataFrame:
     """(group_cols..., key, cnt) level-0 bucket histogram.
 
     ``explode_array=True`` keys the elements of an array column (e.g.
     ``tokens``); the explode feeds straight into partial hash aggregation, so
     exploded rows never cross a shuffle.
+
+    ``weight`` turns the count into an integer-weighted multiplicity (the
+    core's add_weighted semantics: each row contributes `weight` items).
     """
     cfg = cfg or DDSketchConfig()
     v = F.col(value) if isinstance(value, str) else value
+    w = (F.col(weight) if isinstance(weight, str) else weight) if weight is not None else None
     if explode_array:
         # generators can't nest inside expressions; explode first, then key
-        df = df.select(*group_cols, F.explode(v).alias("__elem"))
+        cols = [*group_cols] + ([w.alias("__w")] if w is not None else [])
+        df = df.select(*cols, F.explode(v).alias("__elem"))
         v = F.col("__elem")
-    keyed = df.select(*group_cols, dds_key(v, cfg).alias("key"))
-    keyed = keyed.where(F.col("key").isNotNull())
-    return keyed.groupBy(*group_cols, "key").agg(F.count(F.lit(1)).alias("cnt"))
+        if w is not None:
+            w = F.col("__w")
+    sel = [*group_cols, dds_key(v, cfg).alias("key")]
+    if w is not None:
+        sel.append(w.cast("long").alias("__w"))
+    keyed = df.select(*sel).where(F.col("key").isNotNull())
+    cnt = F.sum("__w") if w is not None else F.count(F.lit(1))
+    return keyed.groupBy(*group_cols, "key").agg(cnt.alias("cnt"))
 
 
 def _group_schema_prefix(df: DataFrame, group_cols) -> str:
@@ -136,6 +147,7 @@ def quantiles(
     cfg: DDSketchConfig | None = None,
     group_cols: Sequence[str] = (),
     explode_array: bool = False,
+    weight: Column | str | None = None,
 ) -> DataFrame:
     """(group_cols..., q, bucket_key, estimate, n) quantile estimates.
 
@@ -145,7 +157,7 @@ def quantiles(
     """
     cfg = cfg or DDSketchConfig()
     qs = [float(q) for q in qs]
-    hist = histogram(df, value, cfg, group_cols, explode_array)
+    hist = histogram(df, value, cfg, group_cols, explode_array, weight)
     grouped, keys, _ = _grouped(hist, group_cols)
     out_schema = (
         _group_schema_prefix(hist, group_cols)

@@ -257,6 +257,42 @@ FROM tot, keep_first
 """
 
 
+def _weighted_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of price where each row counts l_quantity times (the
+    core's add_weighted semantics through the JVM histogram path)."""
+    df = read_table(spark, sf_dir, "lineitem")
+    out = agg.quantiles(
+        df, "l_extendedprice", Q_GRID, OCFG, weight=F.col("l_quantity").cast("long")
+    )
+    return out.select(
+        "q", "bucket_key", sig6_mantissa(F.col("estimate")).alias("est_m6"), "n"
+    )
+
+
+_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT {_key_sql('v')} AS key, w
+  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v, CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+),
+hist AS (SELECT key, SUM(w) AS cnt FROM keyed GROUP BY key),
+tot AS (SELECT SUM(cnt) AS n FROM hist),
+cum AS (SELECT key, SUM(cnt) OVER (ORDER BY key) AS cumc FROM hist),
+qs AS (SELECT UNNEST([{QS}]) AS q),
+sel AS (
+  SELECT qs.q AS q,
+         (SELECT MIN(c.key) FROM cum c, tot t WHERE c.cumc > qs.q * (t.n - 1)) AS key,
+         (SELECT t.n FROM tot t) AS n
+  FROM qs
+)
+SELECT q,
+  CASE WHEN key > 0 THEN key - {OCFG.offset} WHEN key < 0 THEN key + {OCFG.offset} ELSE 0 END AS bucket_key,
+  {SIG6_SQL.format(x=_estimate_sql('key'))} AS est_m6,
+  n
+FROM sel
+"""
+
+
 def _rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level rollup (per-source + global) in one result -- the manual
     grouping-sets pattern (SURVEY.md §2.2)."""
@@ -291,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_histogram_price": _hist_spark,
         "dds_error_bound_collapse": _error_bound_spark,
         "dds_quantiles_rollup": _rollup_spark,
+        "dds_weighted_quantiles_price": _weighted_quantiles_spark,
         "dds_histogram_price_collapsed": _collapsed_spark,
         "dds_delete_quantity": _delete_spark,
     }
@@ -305,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "dds_histogram_price": _HIST_SQL,
         "dds_error_bound_collapse": _error_bound_oracle_sql(),
         "dds_quantiles_rollup": _rollup_oracle_sql(),
+        "dds_weighted_quantiles_price": _WEIGHTED_SQL,
         "dds_histogram_price_collapsed": _collapsed_oracle_sql(),
         "dds_delete_quantity": _DELETE_SQL,
     }
