@@ -4,22 +4,32 @@ MinHash / SimHash.
 The extension sketches (SURVEY.md §2.3) need a hash that is (a) vectorizable
 JVM-side so sketch builds stay inside whole-stage codegen, (b) reproducible
 bit-for-bit in numpy, and (c) expressible in ANSI SQL so DuckDB oracles can
-re-derive every register/counter/bit exactly.  We use the classic universal
-family over the Mersenne prime P = 2^61 - 1:
+re-derive every register/counter/bit exactly.  We use a multilinear
+universal family over the Mersenne prime P = 2^61 - 1, applied to the
+three 31/31/2-bit limbs of the key's 64-bit two's-complement pattern:
 
-    fold(x) = x mod (2^31 - 1)            # compress to 31 bits
-    h_i(x)  = (a_i * fold(x) + b_i) mod P # a_i < 2^30 so a*fold < 2^61
+    lo(x)  = x         & (2^31 - 1)        # nonnegative limbs; arithmetic
+    mid(x) = (x >> 31) & (2^31 - 1)        # shift + mask semantics agree
+    hi(x)  = (x >> 62) & 3                 # in Spark (Java), numpy, DuckDB
+    h_i(x) = (a_i*lo + a'_i*mid + a''_i*hi + b_i) mod P
 
-All intermediates fit in a signed int64, so the same expression evaluates
-identically as a Spark Column (codegen'd long arithmetic), a numpy int64
-ufunc chain, and a DuckDB BIGINT expression -- no wraparound semantics or
-HUGEINT needed.  The (a_i, b_i) constants come from a fixed-seed splitmix64
-so every engine sees the same family.
+with a_i, a'_i, a''_i < 2^30 so each product is < 2^61 and each running
+sum (reduced mod P between terms) stays < 2^62: all intermediates fit in a
+signed int64, so the same expression evaluates identically as a Spark
+Column (codegen'd long arithmetic), a numpy int64 ufunc chain, and a
+DuckDB BIGINT expression -- no wraparound semantics or HUGEINT needed.
+The (a_i, b_i) constants come from a fixed-seed splitmix64 and
+(a'_i, a''_i) are derived deterministically from (a_i, b_i), so every
+engine sees the same family.
 
-Pairwise independence of ((a*x+b) mod P) mod m is the textbook guarantee
-backing count-min and Bloom error bounds (Carter-Wegman); for HLL the high
-bits of h are used for the register index and the low bits for the
-rank (rho), which is standard practice for 61-bit universal hashes.
+The limb decomposition is injective on the FULL int64 domain, and a
+multilinear hash sum(a_j*x_j) + b mod P over limbs x_j < P is pairwise
+independent (Carter-Wegman): two distinct keys differ in some limb and
+collide with probability 1/P.  That restores the count-min / Bloom / HLL /
+MinHash guarantees for 64-bit ids -- the previous x mod (2^31-1) pre-fold
+made every x === x' (mod 2^31-1) pair collide under the ENTIRE family.
+For HLL the high bits of h are the register index and the low bits the
+rank (rho), standard practice for 61-bit universal hashes.
 """
 
 from __future__ import annotations
@@ -64,24 +74,54 @@ def hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 # the three engines
 # ---------------------------------------------------------------------------
 
+def _limb_params(a: int, b: int) -> tuple[int, int]:
+    """Deterministic (a', a'') multipliers for the mid/hi limbs, derived
+    from (a, b) so the public hash signature stays 2-parameter and every
+    engine embeds the same literals."""
+    nxt = _splitmix64(((a & 0xFFFFFFFF) << 32) ^ (b & 0xFFFFFFFF) ^ 0x5851F42D)
+    a2 = (nxt() % ((1 << 30) - 2)) | 1
+    a3 = (nxt() % ((1 << 30) - 2)) | 1
+    return a2, a3
+
+
 def hash_col(x: Column, a: int, b: int) -> Column:
-    """Spark Column: (a * (x mod FOLD31) + b) mod P, all long arithmetic
-    inside whole-stage codegen (no UDF)."""
-    fold = F.pmod(x.cast("long"), F.lit(FOLD31))
-    return F.pmod(F.lit(a) * fold + F.lit(b), F.lit(MERSENNE61))
+    """Spark Column: multilinear limb hash mod P, all long arithmetic
+    inside whole-stage codegen (no UDF). Arithmetic >> then & with a
+    positive mask yields the nonnegative limbs on any int64 input."""
+    a2, a3 = _limb_params(a, b)
+    xl = x.cast("long")
+    P = F.lit(MERSENNE61)
+    lo = xl.bitwiseAND(F.lit(FOLD31))
+    mid = F.shiftright(xl, 31).bitwiseAND(F.lit(FOLD31))
+    hi = F.shiftright(xl, 62).bitwiseAND(F.lit(3))
+    t = F.pmod(F.lit(a) * lo + F.lit(b), P)
+    t = F.pmod(t + F.lit(a2) * mid, P)
+    return F.pmod(t + F.lit(a3) * hi, P)
 
 
 def hash_np(x: np.ndarray, a: int, b: int) -> np.ndarray:
     """numpy int64: identical to hash_col / hash_sql."""
-    fold = np.mod(x.astype(np.int64), FOLD31)
-    return np.mod(a * fold + b, MERSENNE61)
+    a2, a3 = _limb_params(a, b)
+    xl = np.asarray(x).astype(np.int64)
+    lo = xl & np.int64(FOLD31)
+    mid = (xl >> np.int64(31)) & np.int64(FOLD31)
+    hi = (xl >> np.int64(62)) & np.int64(3)
+    t = np.mod(a * lo + b, MERSENNE61)
+    t = np.mod(t + a2 * mid, MERSENNE61)
+    return np.mod(t + a3 * hi, MERSENNE61)
 
 
 def hash_sql(x: str, a: int, b: int) -> str:
-    """DuckDB BIGINT expression string (x must be a BIGINT-typed expr >= 0
-    or any integer; pmod semantics spelled out for negative inputs)."""
-    fold = f"((({x}) % {FOLD31} + {FOLD31}) % {FOLD31})"
-    return f"(({a}::BIGINT * {fold} + {b}) % {MERSENNE61})"
+    """DuckDB BIGINT expression string; >> on BIGINT is arithmetic shift,
+    matching Java/numpy, so the limbs agree bit-for-bit on any int64."""
+    a2, a3 = _limb_params(a, b)
+    xe = f"CAST(({x}) AS BIGINT)"
+    lo = f"({xe} & {FOLD31})"
+    mid = f"(({xe} >> 31) & {FOLD31})"
+    hi = f"(({xe} >> 62) & 3)"
+    t1 = f"(({a}::BIGINT * {lo} + {b}) % {MERSENNE61})"
+    t2 = f"(({t1} + {a2}::BIGINT * {mid}) % {MERSENNE61})"
+    return f"(({t2} + {a3}::BIGINT * {hi}) % {MERSENNE61})"
 
 
 # ---------------------------------------------------------------------------
@@ -151,10 +191,19 @@ def mixed_hash_sql(x: str, a: int, b: int) -> str:
 # ---------------------------------------------------------------------------
 
 def bitlen_np(x: np.ndarray) -> np.ndarray:
-    """bit length of non-negative int64 values (< 2^53 exact via frexp);
-    bitlen(0) = 0."""
-    _, e = np.frexp(x.astype(np.float64))
-    return np.where(x == 0, 0, e).astype(np.int64)
+    """Exact bit length of non-negative int64 values; bitlen(0) = 0.
+
+    frexp on float64 can be off by one near powers of two for inputs
+    >= 2^53, so the estimate is corrected with exact integer compares
+    against 2^(e-1) and 2^e (mirrors bitlen_col's correction so the numpy
+    core and the Spark/SQL engines agree on HLL rho for every p)."""
+    xl = np.asarray(x).astype(np.int64)
+    _, e = np.frexp(xl.astype(np.float64))
+    e = np.clip(e.astype(np.int64), 1, 62)
+    p_lo = np.left_shift(np.int64(1), e - 1)  # 2^(e-1)
+    p_hi = np.left_shift(np.int64(2), e - 1)  # 2^e (max 2^62, no overflow)
+    e_fixed = np.where(xl < p_lo, e - 1, np.where(xl >= p_hi, e + 1, e))
+    return np.where(xl == 0, 0, e_fixed).astype(np.int64)
 
 
 def bitlen_sql(x: str) -> str:

@@ -74,19 +74,28 @@ def shingle_col(tokens: Column, n: int, vocab_size: int) -> Column:
         return F.transform(tokens, lambda t: t.cast("long"))
     idxs = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
     if n == 2:
-        return F.transform(
+        grams = F.transform(
             idxs,
             lambda i: F.element_at(tokens, i).cast("long") * base
             + F.element_at(tokens, i + 1).cast("long"),
         )
-    return F.transform(
-        idxs,
-        lambda i: (
-            F.element_at(tokens, i).cast("long") * base
-            + F.element_at(tokens, i + 1).cast("long")
+    else:
+        grams = F.transform(
+            idxs,
+            lambda i: (
+                F.element_at(tokens, i).cast("long") * base
+                + F.element_at(tokens, i + 1).cast("long")
+            )
+            * base
+            + F.element_at(tokens, i + 2).cast("long"),
         )
-        * base
-        + F.element_at(tokens, i + 2).cast("long"),
+    # guard: a doc shorter than n tokens has NO n-grams. Without it,
+    # sequence(1, size-(n-1)) with size < n produces a DESCENDING [1..0]
+    # range and element_at hits index 0 / out-of-bounds (ANSI), so a single
+    # 1-token doc would crash every bigram query. The DuckDB oracle's
+    # generate_series(1, 0) is empty, so this also keeps engines aligned.
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<long>")
     )
 
 

@@ -63,7 +63,7 @@ agg AS (
   SELECT {gsel}
          SUM(power(2.0, -rho)) + ({m} - COUNT(*)) AS s,
          {m} - COUNT(*) AS v_zero,
-         SUM(idx * rho) AS checksum
+         CAST(SUM(idx * rho) AS BIGINT) AS checksum
   FROM regs {gby}
 ),
 est AS (

@@ -70,7 +70,7 @@ WITH keyed AS (
   FROM (SELECT {gsel}CAST({value_expr} AS DOUBLE) AS v FROM {table} WHERE {value_expr} IS NOT NULL)
 ),
 hist AS (SELECT {gsel}key, COUNT(*) AS cnt FROM keyed {gby}),
-tot AS (SELECT {gsel}SUM(cnt) AS n FROM hist {('GROUP BY ' + group) if group else ''}),
+tot AS (SELECT {gsel}CAST(SUM(cnt) AS BIGINT) AS n FROM hist {('GROUP BY ' + group) if group else ''}),
 cum AS (SELECT {gsel}key, SUM(cnt) OVER ({gpart} ORDER BY key) AS cumc FROM hist),
 qs AS (SELECT * FROM {qs_src}),
 sel AS (
@@ -244,9 +244,9 @@ WITH keyed AS (
   FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL)
 ),
 hist AS (SELECT key, COUNT(*) AS c FROM keyed GROUP BY key),
-tot AS (SELECT SUM(c) AS n FROM hist),
-keep_last AS (SELECT SUM(c) AS s FROM (SELECT c FROM hist ORDER BY key ASC LIMIT {keep})),
-keep_first AS (SELECT SUM(c) AS s FROM (SELECT c FROM hist ORDER BY key DESC LIMIT {keep}))
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+keep_last AS (SELECT CAST(SUM(c) AS BIGINT) AS s FROM (SELECT c FROM hist ORDER BY key ASC LIMIT {keep})),
+keep_first AS (SELECT CAST(SUM(c) AS BIGINT) AS s FROM (SELECT c FROM hist ORDER BY key DESC LIMIT {keep}))
 SELECT 'last' AS collapse, n, n - keep_last.s AS fat_count,
        0.0 AS q_lo, 1.0 - (n - keep_last.s)::DOUBLE / n AS q_hi
 FROM tot, keep_last
@@ -275,8 +275,8 @@ WITH keyed AS (
   FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v, CAST(l_quantity AS BIGINT) AS w
         FROM lineitem WHERE l_extendedprice IS NOT NULL)
 ),
-hist AS (SELECT key, SUM(w) AS cnt FROM keyed GROUP BY key),
-tot AS (SELECT SUM(cnt) AS n FROM hist),
+hist AS (SELECT key, CAST(SUM(w) AS BIGINT) AS cnt FROM keyed GROUP BY key),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
 cum AS (SELECT key, SUM(cnt) OVER (ORDER BY key) AS cumc FROM hist),
 qs AS (SELECT UNNEST([{QS}]) AS q),
 sel AS (

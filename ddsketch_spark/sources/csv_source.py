@@ -42,11 +42,17 @@ def bins_df(sketch_rows: DataFrame, cfg: DDSketchConfig | None = None) -> DataFr
     for lv in range(1, 8):
         gamma_cases = F.when(F.col("level") == lv, F.lit(gamma_at_level(cfg.alpha, lv))).otherwise(gamma_cases)
     g = gamma_cases
-    upper = F.when(k > 0, F.pow(g, stripped.cast("double"))).otherwise(
-        -F.pow(g, (-stripped).cast("double"))
+    # bounds mirror DDS_PrintCSV's GetBounds(key-1, key) exactly: max from
+    # the stored key, min from stored key - 1, each with its OWN sign test
+    # (reference: ddsketch.cc:151-180, call site 930). For a negative key
+    # this makes min = -gamma^(|stripped|+1) (one step more negative); the
+    # zero bucket's huge-offset exponents underflow to +-0.0 as in C.
+    km = k - F.lit(1)
+    upper = F.when(k > 0, F.pow(g, (k - off).cast("double"))).otherwise(
+        -F.pow(g, (-(k + off)).cast("double"))
     )
-    lower = F.when(k > 0, F.pow(g, (stripped - 1).cast("double"))).otherwise(
-        -F.pow(g, (-stripped - 1).cast("double"))
+    lower = F.when(km > 0, F.pow(g, (km - off).cast("double"))).otherwise(
+        -F.pow(g, (-(km + off)).cast("double"))
     )
     return exploded.select(
         *[c for c in exploded.columns if c not in ("__p", "kc", "level")],

@@ -68,6 +68,17 @@ def test_query_vs_oracle(spark, sf_correct, name):
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    # driver-mimic dtype gate: the driver hashes serialized values, so an
+    # integer column surfacing as float64 on one side (e.g. DuckDB HUGEINT
+    # from an uncast SUM) hash-mismatches even when values are equal
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        num = {"i", "u", "f"}
+        if gk in num or wk in num:
+            assert (gk in {"i", "u"}) == (wk in {"i", "u"}), (
+                f"{name}.{c}: dtype kind {got[c].dtype} != {want[c].dtype} "
+                "(int/float mismatch would break the driver value hash)"
+            )
     g, w = _canon(got), _canon(want)
     mism = [i for i, (a, b) in enumerate(zip(g, w)) if a != b]
     assert not mism, f"{name}: first mismatch {g[mism[0]]} != {w[mism[0]]}"
