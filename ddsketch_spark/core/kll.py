@@ -61,14 +61,24 @@ def _capacity(cfg: KLLConfig, level: int, num_levels: int) -> int:
 
 
 def _compact_level(sk: KLL, level: int) -> None:
-    """Sort the buffer, keep alternating items, promote survivors' pairs."""
+    """Sort the buffer, promote alternating items of the EVEN prefix.
+
+    An odd buffer keeps its last (largest) item at the current level and
+    compacts only the even prefix -- promoting ceil(s/2) items at double
+    weight would change total retained weight by +-2^level per odd
+    compaction, so rank()/quantile() would compare cumulative weights
+    against an inconsistent n (ADVICE r1). This preserves
+    sum(weights) == n exactly."""
     buf = np.sort(sk.levels[level])
+    leftover = buf[-1:] if buf.size & 1 else np.empty(0, np.float64)
+    if buf.size & 1:
+        buf = buf[:-1]
     keep_parity = sk.parity & 1
     sk.parity += 1
     promoted = buf[keep_parity::2]
     if len(sk.levels) <= level + 1:
         sk.levels.append(np.empty(0, np.float64))
-    sk.levels[level] = np.empty(0, np.float64)
+    sk.levels[level] = leftover
     sk.levels[level + 1] = np.concatenate([sk.levels[level + 1], promoted])
 
 

@@ -247,7 +247,10 @@ def cms_heavy_hitters(
     (mapInPandas heap) without touching the estimate join."""
     cfg = cfg or CMSConfig()
     v = _colref(value)
-    cnts = cms_counters(df, value, cfg)
+    # counters feed two consumers (N and the estimate join): persist so the
+    # input scan + counter shuffle run once, not per consumer (the table is
+    # at most d x width rows, trivially cacheable)
+    cnts = cms_counters(df, value, cfg).persist()
     # N = total inserted = sum of any one counter row (row 0): no extra scan
     n = cnts.where(F.col("row") == 0).agg(F.sum("cnt").alias("n"))
     candidates = df.select(v.alias("item")).distinct()

@@ -171,9 +171,32 @@ def lsh_buckets(
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """(doc_a, doc_b) distinct candidate pairs from bucket co-membership.
-    The self-join is on (band, bucket) -- never all-pairs."""
+    The self-join is on (band, bucket) -- never all-pairs.
+
+    ``max_bucket_size`` is standard MinHash-LSH hygiene: a degenerate
+    mega-bucket (e.g. the all-identical-boilerplate bucket) would produce
+    O(size^2) pairs in one task; buckets above the cap are dropped entirely
+    (their members are still candidates through their other bands). The cap
+    never fires at oracle scale (buckets are O(100) rows), so the SQL
+    oracles stay exact; pass None to disable."""
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        buckets = (
+            buckets.join(sizes, ["band", "bucket"])
+            .where(F.col("__bsz") <= F.lit(max_bucket_size))
+            .drop("__bsz")
+        )
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a"))
     b = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b"))
     return (

@@ -145,18 +145,55 @@ def _ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_PLANES = 16
+_PAIR_BANDS = 4  # 4 bands x 4 planes -> 16 buckets/band
+
+
 def _cos_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, scale path: hyperplane-LSH banded
+    candidates + exact cosine rerank (VERDICT r1 item 3 -- the previous
+    registration was a global crossJoin). The exact all-pairs baseline
+    stays test-only (tests/test_pipeline_ops.py recall gate)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    out = sim.cosine_pairs(emb, _COS_TAU)
+    out = sim.lsh_cosine_pairs(
+        emb, _COS_TAU, n_planes=_PAIR_PLANES, bands=_PAIR_BANDS
+    )
     return out.select(
         "vec_a", "vec_b", sig6_mantissa(F.col("cosine")).alias("cos_m6")
     )
 
 
-_COS_PAIRS_SQL = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+def _cos_pairs_oracle_sql() -> str:
+    planes = sim.hyperplanes(_PAIR_PLANES, sim.EMB_DIM)
+    r = _PAIR_PLANES // _PAIR_BANDS
+    plane_lits = [
+        "([" + ", ".join(repr(float(c)) for c in plane) + "]::DOUBLE[])"
+        for plane in planes
+    ]
+
+    def band_bucket(vec: str, band: int) -> str:
+        return "(" + " + ".join(
+            "(CASE WHEN " + _dot_sql(vec, plane_lits[band * r + j]) + " > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        ) + ")"
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band, {band_bucket('embedding', band)} AS bucket "
+        "FROM embeddings"
+        for band in range(_PAIR_BANDS)
+    )
+    return f"""
+WITH bb AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
        {SIG6_SQL.format(x=_cos_sql('a.embedding', 'b.embedding'))} AS cos_m6
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {_cos_sql('a.embedding', 'b.embedding')} >= CAST({_COS_TAU!r} AS DOUBLE)
 """
 
@@ -257,7 +294,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_cosine_topk": _TOPK_SQL,
         "ann_lsh_bucketed": _lsh_ann_oracle_sql(),
-        "emb_cosine_pairs": _COS_PAIRS_SQL,
+        "emb_cosine_pairs": _cos_pairs_oracle_sql(),
         "text_quality_stats": _STATS_SQL,
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _FP_SQL,

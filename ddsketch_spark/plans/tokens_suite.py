@@ -80,8 +80,11 @@ def _ntok_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _position_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs_tokens(spark, sf_dir)
-    pos = toks.select(F.posexplode("tokens").alias("pos0", "token")).where(
-        F.col("pos0") < _MAX_POS
+    # slice BEFORE posexplode: exploding the full array then filtering
+    # pos0 < _MAX_POS would multiply exploded rows by mean_doc_len/_MAX_POS
+    # (~25x on the fixture) before the filter (VERDICT r1 item 4)
+    pos = toks.select(
+        F.posexplode(F.slice("tokens", 1, _MAX_POS)).alias("pos0", "token")
     )
     pos = pos.select((F.col("pos0") + 1).alias("pos"), "token")
     out = agg.quantiles(pos, "token", Q_GRID, OCFG, group_cols=("pos",))

@@ -73,6 +73,14 @@ int main(int argc, char** argv) {
         for (size_t i = h; i < vals.size(); i++) add(b, vals[i], type);
         if (mrg(a, b, type) < 0) { printf("MERGE_ERROR\n"); return 0; }
         dump(a);
+    } else if (mode == "csv") {
+        // build, then dump bins through the reference's own CSV writer
+        // (DDS_PrintCSV -> GetBounds(key-1, key)) to argv[6]
+        if (argc < 7) return 2;
+        DDS_type* s = DDS_Init(offset, bin_limit, alpha);
+        for (double x : vals) add(s, x, type);
+        DDS_PrintCSV(s, std::string(argv[6]));
+        printf("N %d\n", s->n);
     } else if (mode == "delete") {
         DDS_type* s = DDS_Init(offset, bin_limit, alpha);
         for (double x : vals) add(s, x, type);

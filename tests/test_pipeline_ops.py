@@ -154,3 +154,63 @@ def test_ivf_centroids_deterministic(spark, sf_correct):
     c1 = sim.ivf_centroids(emb, 8)
     c2 = sim.ivf_centroids(emb, 8)
     assert np.array_equal(c1, c2)
+
+
+def test_shingle_short_docs_no_crash(spark):
+    """Docs shorter than n tokens produce EMPTY shingle arrays (and vanish
+    after explode) instead of crashing element_at on the descending
+    sequence(1,0) range (ADVICE r1, high)."""
+    from ddsketch_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [("d1", [5]), ("d2", [1, 2]), ("d3", []), ("d4", [1, 2, 3, 4])],
+        "doc_id string, tokens array<int>",
+    )
+    for n in (2, 3):
+        arrs = {
+            r["doc_id"]: r["sh"]
+            for r in df.select(
+                "doc_id", dd.shingle_col(F.col("tokens"), n, 31).alias("sh")
+            ).collect()
+        }
+        assert arrs["d1"] == [] and arrs["d3"] == []
+        assert len(arrs["d4"]) == 5 - n
+        exploded = dd.doc_shingles(df, "tokens", n, 31)
+        docs_left = {r["doc_id"] for r in exploded.select("doc_id").distinct().collect()}
+        assert "d3" not in docs_left and "d1" not in docs_left
+
+
+def test_lsh_bucket_cap_drops_mega_bucket(spark):
+    """A planted degenerate bucket above the cap contributes NO pairs (its
+    members stay candidates through other bands); pair count stays linear,
+    not quadratic (VERDICT r1 item 7)."""
+    from ddsketch_spark.operators import dedup as dd
+
+    mega = [(f"m{i}", 0, 7) for i in range(200)]  # 200 docs, one bucket
+    small = [(f"s{i}", 1, i % 5) for i in range(10)]
+    buckets = spark.createDataFrame(
+        mega + small, "doc_id string, band int, bucket long"
+    )
+    capped = dd.lsh_candidate_pairs(buckets, max_bucket_size=50)
+    pairs = capped.collect()
+    assert all(r["doc_a"].startswith("s") for r in pairs), pairs[:5]
+    # uncapped control: the mega bucket alone would emit C(200,2) pairs
+    uncapped = dd.lsh_candidate_pairs(buckets, max_bucket_size=None)
+    assert uncapped.count() == 199 * 100 + len(pairs)
+
+
+def test_lsh_cosine_pairs_subset_of_exact_with_recall(spark, sf_correct):
+    """lsh_cosine_pairs emits a SUBSET of the exact all-pairs result (same
+    threshold), with recall above the banding bound on this corpus."""
+    from ddsketch_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in sim.cosine_pairs(emb, 0.4).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.lsh_cosine_pairs(emb, 0.4, n_planes=16, bands=4).collect()
+    }
+    assert blocked <= exact
+    assert len(blocked) >= 0.3 * len(exact), (len(blocked), len(exact))

@@ -65,3 +65,24 @@ def test_cms_point_query_joins_broadcast(spark, sf_correct):
     probes = spark.range(0, 100).select(F.col("id").alias("item"))
     out = aops.cms_point_query(li, "l_partkey", probes, "item", CMSConfig())
     assert "SortMergeJoin" not in _plan(out)
+
+
+def test_emb_cosine_pairs_no_cartesian(spark, sf_correct):
+    """The registered embedding near-dup query must be candidate-bounded:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the executed
+    plan (VERDICT r1 item 3 -- it used to be a global crossJoin)."""
+    from ddsketch_spark.plans.sim_text_suite import _cos_pairs_spark
+
+    out = _cos_pairs_spark(spark, sf_correct)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cms_heavy_hitters_single_counter_build(spark, sf_correct):
+    """The persisted counter table must appear as InMemoryTableScan in both
+    consumers (N and the estimate join) instead of recomputing the
+    counters subtree twice (VERDICT r1 item 6)."""
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    out = aops.cms_heavy_hitters(li, "l_partkey", 0.0008, CMSConfig())
+    assert "InMemoryTableScan" in _plan(out)

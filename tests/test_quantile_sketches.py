@@ -145,3 +145,19 @@ def test_kll_spark_grouped_accuracy(spark, sf_correct):
         assert r["n"] == len(vals)
         err = _rank_err(vals, r["estimate"], r["q"])
         assert err <= eps, (r["event_type"], r["q"], err)
+
+
+def test_kll_weight_conservation_odd_compactions():
+    """sum(retained weights) == n after many odd-size compactions (the
+    round-1 compactor promoted ceil(s/2) items at double weight, drifting
+    total weight by +-2^level per odd compaction -- ADVICE r1)."""
+    rng = np.random.default_rng(3)
+    sk = kll_core.empty(KLLConfig(k=8))  # tiny k -> constant compaction
+    total = 0
+    for chunk in (7, 9, 11, 13, 17, 23, 101, 997):
+        sk = kll_core.add(sk, rng.normal(0, 1, chunk))
+        total += chunk
+        retained = sum(
+            int(buf.size) << lv for lv, buf in enumerate(sk.levels)
+        )
+        assert retained == total == sk.n, (retained, total, sk.n)

@@ -32,17 +32,17 @@ COLLAPSE_ID = {GAMMA2: 1, LAST: 2, FIRST: 3}
 def oracle():
     if shutil.which("g++") is None or not REF.exists():
         pytest.skip("no g++ or reference sources; parity suite skipped")
-    if not BIN.exists():
+    if not BIN.exists() or BIN.stat().st_mtime < DRIVER.stat().st_mtime:
         subprocess.run(
             ["g++", "-O2", "-std=c++14", f"-I{REF}", str(DRIVER),
              str(REF / "ddsketch.cc"), str(REF / "error.cpp"), "-o", str(BIN)],
             check=True, capture_output=True,
         )
-    def run(collapse: str, bin_limit: int, alpha: float, values: np.ndarray, mode: str):
+    def run(collapse: str, bin_limit: int, alpha: float, values: np.ndarray, mode: str, *extra: str):
         vf = Path("/tmp/ref_oracle_vals.txt")
         np.savetxt(vf, values, fmt="%.17g")
         out = subprocess.run(
-            [str(BIN), str(COLLAPSE_ID[collapse]), str(bin_limit), repr(alpha), str(vf), mode],
+            [str(BIN), str(COLLAPSE_ID[collapse]), str(bin_limit), repr(alpha), str(vf), mode, *extra],
             check=True, capture_output=True, text=True,
         ).stdout
         res = {"bins": {}, "quantiles": {}, "n": None, "alpha": None, "size": None}
@@ -151,3 +151,51 @@ def test_delete_parity_gamma2(oracle, name):
     dds.delete(sk, vals)
     assert sk.n == ref["n"]
     assert sk.size == ref["size"]
+
+
+def test_csv_bounds_parity_including_negatives(oracle, spark):
+    """bins_df reproduces DDS_PrintCSV's (key, count, max, min, length)
+    bin-for-bin on a MIXED-SIGN stream (ADVICE r1: negative-key min was
+    one gamma step off, making min > max for every negative bucket)."""
+    import csv as csv_mod
+
+    from ddsketch_spark.operators import ddsketch_agg as agg
+    from ddsketch_spark.sources.csv_source import bins_df
+
+    vals = reference_streams(4000)["normal_2_3"]  # both signs present
+    assert (vals < 0).any() and (vals > 0).any()
+    out = Path("/tmp/ref_oracle_bins.csv")
+    if out.exists():
+        out.unlink()
+    oracle(GAMMA2, 4096, 0.008, vals, "csv", str(out))
+
+    # the CSV's key column is offset-STRIPPED, which is ambiguous (a tiny
+    # positive value and a negative value can share a stripped key), so
+    # compare the two outputs as sorted row multisets, not key-indexed
+    ref_rows = []
+    with out.open() as fh:
+        rd = csv_mod.reader(fh)
+        next(rd)  # header
+        for row in rd:
+            if len(row) < 5:
+                continue
+            ref_rows.append(
+                (int(row[0]),) + tuple(round(float(c), 7) for c in row[1:5])
+            )
+
+    cfg = DDSketchConfig(bin_limit=4096, alpha=0.008)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    mine = [
+        (r["key"], round(r["count"], 7), round(r["max"], 7),
+         round(r["min"], 7), round(r["length"], 7))
+        for r in bins_df(agg.sketch(df, "v", cfg), cfg).collect()
+    ]
+    assert len(mine) == len(ref_rows)
+    for got, want in zip(sorted(mine), sorted(ref_rows)):
+        assert got[0] == want[0] and got[1] == want[1], (got, want)
+        for gi, wi in zip(got[2:], want[2:]):
+            assert math.isclose(gi, wi, abs_tol=2e-7), (got, want)
+    # every bucket of a negative VALUE has min one gamma step below max
+    for key, cnt, mx, mn, ln in mine:
+        if mx < 0:
+            assert mn < mx < 0, (key, mn, mx)
