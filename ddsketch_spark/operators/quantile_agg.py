@@ -6,10 +6,13 @@ batch inserts, the shuffle carries only KB-sized state rows, and a
 canonical ``merge_many`` per group runs in ``applyInPandas``. Quantile
 evaluation happens on the merged state rows.
 
-These two sketches have no SQL-expressible oracle (their compaction is
-partition-order dependent within the rank bound), so their queries are
-rows-only in the driver contract; accuracy is gated by pytest against exact
-order statistics (tests/test_quantile_sketches.py).
+In the compacting regime these sketches have no SQL-expressible oracle
+(compaction is partition-order dependent within the rank bound), so those
+queries are rows-only in the driver contract with pytest accuracy gates
+(tests/test_quantile_sketches.py). Both do have a provable EXACT regime --
+KLL below level-0 capacity, t-digest while every greedy step crosses the
+k-limit -- and the exactness-tier queries in plans.approx_suite exercise
+this whole pipeline against value-level SQL oracles there.
 """
 
 from __future__ import annotations

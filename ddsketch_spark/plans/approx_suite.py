@@ -185,12 +185,108 @@ def _kll_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa.quantiles(ev, "value", qa.kll_ops(), qs, group_cols=("event_type",))
 
 
+# ---------------------------------------------------------------------------
+# t-digest / KLL exactness-tier queries (VERDICT r1 item 8)
+#
+# Both sketches have a provable EXACT regime: KLL never compacts while the
+# per-group item count stays below k (level-0 capacity), and the merging
+# t-digest keeps every centroid a distinct input value while each greedy
+# step crosses the k-limit (guaranteed for per-group n < delta/pi at the k1
+# scale function, since delta-k per fold >= (delta/pi) * 2/n > 1). The
+# documents-by-source table (25 rows/group at oracle scale) sits inside
+# both regimes, so these two queries get value-level SQL oracles (order
+# statistic / midpoint interpolation) that exercise the full two-stage
+# Spark pipeline (mapInPandas partials -> canonical merge -> evaluate).
+# The price/events variants above stay rows-only and cover the compacting
+# regime via the pytest rank-error gates.
+# ---------------------------------------------------------------------------
+
+_EXACT_QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+_EXACT_QS_SQL = ", ".join(f"CAST({q} AS DOUBLE)" for q in _EXACT_QS)
+
+
+def _tdigest_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_spark.operators import quantile_agg as qa
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = qa.quantiles(docs, "n_chars", qa.tdigest_ops(), _EXACT_QS, group_cols=("source",))
+    return out.select(
+        "source", "q", sig6_mantissa(F.col("estimate")).alias("est_m6"), "n"
+    )
+
+
+def _kll_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_spark.operators import quantile_agg as qa
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = qa.quantiles(docs, "n_chars", qa.kll_ops(), _EXACT_QS, group_cols=("source",))
+    return out.select(
+        "source", "q", sig6_mantissa(F.col("estimate")).alias("est_m6"), "n"
+    )
+
+
+def _kll_exact_oracle_sql() -> str:
+    """KLL with no compaction = the order statistic at floor(q*(n-1))+1
+    (1-based), mirroring core.kll.quantile's cumulative-weight walk."""
+    return f"""
+WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+r AS (SELECT source, x,
+        row_number() OVER (PARTITION BY source ORDER BY x) AS rk,
+        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM v),
+qs AS (SELECT DISTINCT source, UNNEST([{_EXACT_QS_SQL}]) AS q FROM v)
+SELECT qs.source, qs.q AS q, {SIG6_SQL.format(x='r.x')} AS est_m6, r.n AS n
+FROM qs JOIN r ON r.source = qs.source
+ AND r.rk = CAST(floor(qs.q * (r.n - 1)) AS BIGINT) + 1
+"""
+
+
+def _tdigest_exact_oracle_sql() -> str:
+    """Singleton-centroid t-digest quantile: midpoint interpolation over the
+    sorted (value, count) centroids, clamped to min/max at the tails --
+    term-for-term the same float64 expression as core.tdigest.quantile."""
+    return f"""
+WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+g AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS w FROM v GROUP BY 1, 2),
+r AS (SELECT source, x, w,
+        CAST(SUM(w) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS cum,
+        CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM g),
+m AS (SELECT source, x, w, n, cum - w / 2.0 AS mid,
+        LAG(x) OVER (PARTITION BY source ORDER BY x) AS px,
+        LAG(cum - w / 2.0) OVER (PARTITION BY source ORDER BY x) AS pmid
+      FROM r),
+agg AS (SELECT source, MIN(x) AS mn, MAX(x) AS mx, MAX(n) AS n,
+               MIN(mid) AS fmid, MAX(mid) AS lmid,
+               MIN(x) AS fmean, MAX(x) AS lmean
+        FROM m GROUP BY source),
+t AS (SELECT qs.source, qs.q, qs.q * a.n AS tgt,
+             a.mn, a.mx, a.n, a.fmid, a.lmid, a.fmean, a.lmean
+      FROM (SELECT DISTINCT source, UNNEST([{_EXACT_QS_SQL}]) AS q FROM v) qs
+      JOIN agg a ON a.source = qs.source),
+est AS (
+  SELECT source, q, n,
+    CASE WHEN tgt <= fmid THEN mn + (tgt / fmid) * (fmean - mn)
+         WHEN tgt >= lmid THEN
+           lmean + (CASE WHEN n - lmid > 0 THEN (tgt - lmid) / (n - lmid) ELSE 0.0 END) * (mx - lmean)
+         ELSE (SELECT m.px + ((t.tgt - m.pmid) / (m.mid - m.pmid)) * (m.x - m.px)
+               FROM m WHERE m.source = t.source AND m.mid > t.tgt
+               ORDER BY m.mid LIMIT 1)
+    END AS estimate
+  FROM t)
+SELECT source, q, {SIG6_SQL.format(x='estimate')} AS est_m6, n FROM est
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rows-only driver checks (no SQL oracle: compaction is partition-
         # order dependent within the rank bound; accuracy gated in pytest)
         "tdigest_quantiles_price": _tdigest_spark,
         "kll_quantiles_events_by_type": _kll_spark,
+        # exactness-tier variants WITH value-level oracles (see block above)
+        "tdigest_quantiles_nchars_by_source": _tdigest_exact_spark,
+        "kll_quantiles_nchars_by_source": _kll_exact_spark,
         "hll_distinct_users_by_type": lambda s, d: _hll_spark(
             s, d, "events", "user_id", "event_type"
         ),
@@ -208,6 +304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tdigest_quantiles_nchars_by_source": _tdigest_exact_oracle_sql(),
+        "kll_quantiles_nchars_by_source": _kll_exact_oracle_sql(),
         "hll_distinct_users_by_type": _hll_oracle_sql("events", "user_id", "event_type"),
         "hll_distinct_parts_global": _hll_oracle_sql("lineitem", "l_partkey", None),
         "cms_heavy_hitter_parts": _cms_hh_oracle_sql("lineitem", "l_partkey", 0.0008),
