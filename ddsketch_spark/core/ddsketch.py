@@ -422,26 +422,52 @@ def _lift_to_level(sk: DDSketch, level: int) -> None:
         collapse_gamma2(sk)
 
 
+ALPHA_MERGE_TOL = 1e-4  # reference: fabs(a1-a2) > 0.0001, ddsketch.cc:583
+_ALPHA_ALIGN_MAX = 200  # defensive bound; the reference loop is unbounded
+
+
+def _align_alphas(a: DDSketch, b: DDSketch) -> None:
+    """Reference cross-config alignment: collapse whichever sketch currently
+    has the SMALLER (finer) alpha one gamma^2 level at a time until
+    |alpha_a - alpha_b| <= 1e-4 (ddsketch.cc:583-595). Terminates because
+    both trajectories increase monotonically toward 1."""
+    for _ in range(_ALPHA_ALIGN_MAX):
+        if abs(a.alpha - b.alpha) <= ALPHA_MERGE_TOL:
+            return
+        collapse_gamma2(a if a.alpha < b.alpha else b)
+    raise MergeError(
+        f"alpha alignment did not converge: {a.alpha} vs {b.alpha}"
+    )
+
+
 def merge(a: DDSketch, b: DDSketch, in_place: bool = False) -> DDSketch:
     """Pairwise merge (reference: DDS_MergeCollapse / ...LastBucket /
     ...FirstBucket, ddsketch.cc:558-777). ``a`` absorbs ``b``.
 
-    gamma2: align resolutions by collapsing the finer sketch until levels
-    match (reference aligns by |alpha1-alpha2|<=1e-4, ddsketch.cc:583-595; we
-    align by integer level, quirk Q8), key-wise counter addition, then
-    collapse-until-fit. last/first: resolutions must match exactly
-    (reference: MERGE_ERROR -5, ddsketch.cc:658-661); min/max absorbed ranges
-    widen to the union (ddsketch.cc:676-682).
+    gamma2, shared alpha0: align resolutions by collapsing the finer sketch
+    until integer levels match -- on the shared trajectory this is the same
+    alignment the reference's |alpha1-alpha2|<=1e-4 loop performs (levels
+    one apart differ by >= alpha0 in alpha), and it keeps the byte-identical
+    reorder property. gamma2, differing alpha0: the reference's tolerance
+    loop verbatim -- collapse the currently-finer sketch until alphas agree
+    within 1e-4, then add raw keys (the two keyspaces differ by < 1e-4 in
+    alpha, which the reference treats as the same keyspace). last/first:
+    current alphas must agree within the same tolerance (reference:
+    MERGE_ERROR -5, ddsketch.cc:658-661); min/max absorbed ranges widen to
+    the union (ddsketch.cc:676-682).
     """
-    if a.cfg.offset != b.cfg.offset or a.cfg.alpha != b.cfg.alpha or a.cfg.collapse != b.cfg.collapse:
-        raise MergeError("sketches must share offset, alpha0 and collapse strategy")
+    if a.cfg.offset != b.cfg.offset or a.cfg.collapse != b.cfg.collapse:
+        raise MergeError("sketches must share offset and collapse strategy")
     out = a if in_place else a.copy()
     b = b.copy()
     if out.cfg.collapse == GAMMA2:
-        top = max(out.level, b.level)
-        _lift_to_level(out, top)
-        _lift_to_level(b, top)
-    elif out.level != b.level:
+        if out.cfg.alpha == b.cfg.alpha:
+            top = max(out.level, b.level)
+            _lift_to_level(out, top)
+            _lift_to_level(b, top)
+        else:
+            _align_alphas(out, b)
+    elif abs(out.alpha - b.alpha) > ALPHA_MERGE_TOL:
         raise MergeError("last/first-bucket merge requires equal alpha (reference error -5)")
     out.keys, out.counts = _combine(out.keys, out.counts, b.keys, b.counts)
     out.n += b.n
@@ -463,6 +489,13 @@ def merge_many(sketches: list[DDSketch]) -> DDSketch:
     if not sketches:
         raise SketchError("merge_many of zero sketches")
     out = sketches[0].copy()
+    if any(s.cfg.alpha != out.cfg.alpha for s in sketches[1:]):
+        # cross-config inputs: no shared level trajectory, so fall back to
+        # the reference's pairwise contract (order-dependent, like the
+        # reference itself -- canonical reordering only holds on-trajectory)
+        for s in sketches[1:]:
+            merge(out, s, in_place=True)
+        return out
     if out.cfg.collapse == GAMMA2:
         top = max(s.level for s in sketches)
         _lift_to_level(out, top)

@@ -73,6 +73,18 @@ int main(int argc, char** argv) {
         for (size_t i = h; i < vals.size(); i++) add(b, vals[i], type);
         if (mrg(a, b, type) < 0) { printf("MERGE_ERROR\n"); return 0; }
         dump(a);
+    } else if (mode == "mergeab") {
+        // cross-config merge: sketch a at alpha, sketch b at argv[6],
+        // exercising the reference's |a1-a2|<=1e-4 alignment loop
+        if (argc < 7) return 2;
+        double alpha2 = atof(argv[6]);
+        DDS_type* a = DDS_Init(offset, bin_limit, alpha);
+        DDS_type* b = DDS_Init(offset, bin_limit, alpha2);
+        size_t h = vals.size() / 2;
+        for (size_t i = 0; i < h; i++) add(a, vals[i], type);
+        for (size_t i = h; i < vals.size(); i++) add(b, vals[i], type);
+        if (mrg(a, b, type) < 0) { printf("MERGE_ERROR\n"); return 0; }
+        dump(a);
     } else if (mode == "csv") {
         // build, then dump bins through the reference's own CSV writer
         // (DDS_PrintCSV -> GetBounds(key-1, key)) to argv[6]

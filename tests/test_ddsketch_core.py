@@ -213,16 +213,37 @@ def test_merge_reordering_byte_identical():
 
 
 def test_merge_incompatible_raises():
+    # different collapse strategies / offsets are structural mismatches
     a = build([1.0, 2.0])
-    b = build([1.0], alpha=0.01)
+    e = build([1.0], collapse=LAST)
     with pytest.raises(dds.MergeError):
-        dds.merge(a, b)
+        dds.merge(a, e)
     c = build(np.random.default_rng(1).uniform(10, 4e5, 3000),
               bin_limit=100, collapse=LAST)
     d = build([1.0], collapse=LAST)
-    d.level = 1  # simulate mismatched resolution
+    d.level = 1  # simulate mismatched resolution (alpha gap > 1e-4)
     with pytest.raises(dds.MergeError):
         dds.merge(c, d)
+
+
+def test_merge_cross_alpha_reference_semantics():
+    """gamma2 merges across DIFFERENT alpha0 now follow the reference's
+    tolerance loop (collapse the finer sketch until |da|<=1e-4, raw key
+    addition) instead of raising -- bit-level parity is separately pinned
+    in test_reference_parity.py::test_merge_parity_cross_alpha."""
+    rng = np.random.default_rng(5)
+    va, vb = rng.normal(10, 3, 2000), rng.normal(10, 3, 2000)
+    a = build(va, alpha=0.008)
+    b = build(vb, alpha=0.01605)
+    merged = dds.merge(a, b)
+    assert merged.n == 4000
+    assert merged.sum_bins() == 4000
+    assert abs(merged.alpha - dds.empty(
+        dds.DDSketchConfig(alpha=0.01605)).alpha) <= 1e-4 + 0.008
+    # estimates stay within the COARSER sketch's accuracy on the union
+    med = dds.quantile(merged, 0.5)
+    true = float(np.quantile(np.concatenate([va, vb]), 0.5))
+    assert abs(med - true) / true < 2 * 0.01605
 
 
 # -- delete (reference scenario 3) --------------------------------------------

@@ -199,3 +199,19 @@ def test_csv_bounds_parity_including_negatives(oracle, spark):
     for key, cnt, mx, mn, ln in mine:
         if mx < 0:
             assert mn < mx < 0, (key, mn, mx)
+
+
+@pytest.mark.parametrize("alphas", [(0.008, 0.01605), (0.004, 0.008), (0.0159, 0.008)])
+def test_merge_parity_cross_alpha(oracle, alphas):
+    """Cross-config merge: sketches built at DIFFERENT alphas, aligned by
+    the reference's |a1-a2|<=1e-4 collapse loop (ddsketch.cc:583-595) and
+    then added raw -- bin-for-bin + quantile-grid parity (r1 gap: the repo
+    previously rejected cross-alpha merges outright)."""
+    a1, a2 = alphas
+    vals = reference_streams(6000)["normal_10_3"]
+    ref = oracle(GAMMA2, 500, a1, vals, "mergeab", repr(a2))
+    h = len(vals) // 2
+    sa = my_build(GAMMA2, 500, a1, vals[:h])
+    sb = my_build(GAMMA2, 500, a2, vals[h:])
+    merged = dds.merge(sa, sb)
+    assert_state_matches(merged, ref)
