@@ -31,6 +31,7 @@ from ddsketch_spark.functions.hashing import (
     HASH_BITS,
     bitlen_col,
     hash_col,
+    mix_col,
     mixed_hash_col,
 )
 
@@ -276,10 +277,48 @@ def cms_heavy_hitters(
 # ---------------------------------------------------------------------------
 
 def bloom_bit_col(value: Column | str, cfg: BloomConfig) -> Column:
-    """array<long> of the k bit positions for a value (JVM-side)."""
+    """array<long> of the k bit positions for a value (JVM-side).
+
+    Prefer ``_bloom_bit_rows`` for DataFrame-scale inputs: k mixed hashes
+    inlined into ONE projection exceed the whole-stage-codegen method
+    limit, and the interpreted fallback is ~20x slower (measured at sf0.1:
+    12.6s vs 0.6s for the 600k-row build). This single-Column form is fine
+    for small probe sets and for expression-level composition."""
     v = _colref(value)
     return F.array(
         *[F.pmod(mixed_hash_col(v, a, b), F.lit(cfg.m_bits)) for (a, b) in cfg.hash_abs]
+    )
+
+
+def _bloom_bit_rows(
+    df: DataFrame,
+    value: Column | str,
+    cfg: BloomConfig,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(keep_cols..., bit) one row per (input row, hash function).
+
+    Two projections, not one: the k linear hashes first (small codegen'd
+    exprs), then mix+pmod over those ATTRIBUTES. Catalyst keeps the split
+    (CollapseProject refuses to inline non-cheap aliases referenced many
+    times -- mix references its argument 8x), so each stage stays inside
+    whole-stage codegen."""
+    v = _colref(value)
+    k = len(cfg.hash_abs)
+    lin = df.select(
+        *keep_cols,
+        *[hash_col(v, a, b).alias(f"__bl{j}") for j, (a, b) in enumerate(cfg.hash_abs)],
+    )
+    return lin.select(
+        *keep_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(mix_col(F.col(f"__bl{j}")), F.lit(cfg.m_bits))
+                    for j in range(k)
+                ]
+            )
+        ).alias("bit"),
     )
 
 
@@ -291,7 +330,7 @@ def bloom_bits(
 ) -> DataFrame:
     """(group_cols..., bit) distinct set bit positions."""
     cfg = cfg or BloomConfig()
-    keyed = df.select(*group_cols, F.explode(bloom_bit_col(value, cfg)).alias("bit"))
+    keyed = _bloom_bit_rows(df, value, cfg, keep_cols=group_cols)
     return keyed.where(F.col("bit").isNotNull()).distinct()
 
 
@@ -342,9 +381,9 @@ def bloom_might_contain(
     table; might_contain = all k bits present. No false negatives."""
     cfg = cfg or BloomConfig()
     bits = bloom_bits(df, value, cfg)
-    pr = probes.select(
-        F.col(probe_col).alias("probe"),
-        F.explode(bloom_bit_col(F.col(probe_col), cfg)).alias("bit"),
+    pr = _bloom_bit_rows(
+        probes.select(F.col(probe_col).alias("probe")), "probe", cfg,
+        keep_cols=("probe",),
     )
     joined = pr.join(
         F.broadcast(bits.withColumn("__set", F.lit(1))), ["bit"], "left"

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ddsketch_spark.functions.hashing import FOLD31, hash_params, mixed_hash_col
@@ -189,11 +189,13 @@ def lsh_candidate_pairs(
     never fires at oracle scale (buckets are O(100) rows), so the SQL
     oracles stay exact; pass None to disable."""
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__bsz")
-        )
+        # window count, not a groupBy+join: the count shares the join's
+        # (band, bucket) partitioning, so the cap costs one pass and the
+        # downstream self-join still reuses a single shuffle of `buckets`
+        # (a groupBy+join here re-ran the whole minhash subtree per branch)
+        w = Window.partitionBy("band", "bucket")
         buckets = (
-            buckets.join(sizes, ["band", "bucket"])
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
             .where(F.col("__bsz") <= F.lit(max_bucket_size))
             .drop("__bsz")
         )

@@ -128,9 +128,15 @@ def _lsh_buckets_oracle_sql() -> str:
 
 def _lsh_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle stream feeds three consumers (signatures, intersection,
-    # sizes) -- persist it so the explode runs once, not per consumer
+    # sizes) -- persist it so the explode runs once, not per consumer.
+    # the candidate-pair table feeds FOUR consumers inside jaccard_pairs
+    # (two semi-join prunes, the candidate filter, the final inner join):
+    # persist it too, or the whole minhash+bucket-join subtree recomputes
+    # once per consumer (measured 6x wall-clock at sf0.1)
     sh = _bigram_shingles(spark, sf_dir).persist()
-    pairs = dd.lsh_candidate_pairs(dd.lsh_buckets(dd.minhash_signatures(sh)))
+    pairs = dd.lsh_candidate_pairs(
+        dd.lsh_buckets(dd.minhash_signatures(sh))
+    ).persist()
     return dd.jaccard_pairs(sh, pairs=pairs, threshold=_LSH_VERIFY_TAU)
 
 
