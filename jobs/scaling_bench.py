@@ -84,9 +84,15 @@ def measure_once(cpus: int, tokens_path: str, workload: str) -> float:
     )
     spark.sparkContext.setLogLevel("ERROR")
     cfg = DDSketchConfig()
-    # hot-data protocol: cache the projected input so timed runs measure the
-    # sketch computation, not virtual-disk scan variance (BASELINE.md §3)
-    tokens = spark.read.parquet(tokens_path).select("source", "tokens").cache()
+    # hot-data protocol: warm the OS page cache with one scan, but do NOT
+    # .cache() the DataFrame. Block-manager caching of wide token-array rows
+    # is actively pathological at this size: reading 600k deserialized
+    # array rows back out of the cache measured 41-212s at local[8] where
+    # the vectorized parquet re-scan takes 7.7s (r2 measurement) -- the
+    # columnar scan + codegen explode is the fast path, the object cache is
+    # GC churn. (This also mirrors the 100 TB reality: executors re-scan
+    # columnar storage; nobody caches the raw fact table.)
+    tokens = spark.read.parquet(tokens_path).select("source", "tokens")
     tokens.count()
 
     def once():
@@ -107,24 +113,37 @@ def measure_once(cpus: int, tokens_path: str, workload: str) -> float:
     return secs
 
 
-def run_level(cpus: int, tokens_path: str, runs: int) -> dict:
-    out: dict = {"cpus": cpus}
-    for w in WORKLOADS:
-        secs = []
-        for _ in range(runs):
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single",
-                 "--cpus", str(cpus), "--tokens-path", tokens_path, "--workload", w],
-                capture_output=True, text=True, cwd=REPO, timeout=1800,
+def _one_subprocess(cpus: int, tokens_path: str, workload: str) -> list[float]:
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single",
+         "--cpus", str(cpus), "--tokens-path", tokens_path, "--workload", workload],
+        capture_output=True, text=True, cwd=REPO, timeout=1800,
+    )
+    line = r.stdout.strip().splitlines()[-1]
+    return json.loads(line)["secs"]
+
+
+def run_interleaved(n: int, tokens_path: str, runs: int) -> tuple[dict, dict]:
+    """Measure the two levels INTERLEAVED (lo, hi, lo, hi, ...) so both
+    sample the same host-steal regime: the microVM's multi-x steal bursts
+    last minutes, so batching all lo runs then all hi runs can hand one
+    level a quiet window and the other a stormy one, skewing the
+    efficiency ratio either way. Per-round pairs of adjacent runs give
+    burst-robust pairwise efficiencies."""
+    secs: dict = {n: {w: [] for w in WORKLOADS}, 4 * n: {w: [] for w in WORKLOADS}}
+    pair_eff: dict = {w: [] for w in WORKLOADS}
+    for _ in range(runs):
+        round_best: dict = {}
+        for cpus in (n, 4 * n):
+            for w in WORKLOADS:
+                s = _one_subprocess(cpus, tokens_path, w)
+                secs[cpus][w].extend(s)
+                round_best[(cpus, w)] = min(s)
+        for w in WORKLOADS:
+            pair_eff[w].append(
+                round(round_best[(n, w)] / (4 * round_best[(4 * n, w)]), 3)
             )
-            line = r.stdout.strip().splitlines()[-1]
-            secs.extend(json.loads(line)["secs"])
-        out[w] = {
-            "runs_sec": [round(s, 3) for s in secs],
-            "median_sec": round(statistics.median(secs), 3),
-            "best_sec": round(min(secs), 3),
-        }
-    return out
+    return secs, pair_eff
 
 
 def main() -> None:
@@ -156,17 +175,34 @@ def main() -> None:
     result: dict = {"n": args.n, "n_docs": args.n_docs, "total_tokens": total_tokens}
     if args.probe:
         result["cpu_capacity_probe_iters_per_sec"] = probe_capacity()
-    lo = run_level(args.n, tokens_path, args.runs)
-    hi = run_level(4 * args.n, tokens_path, args.runs)
-    result["levels"] = [lo, hi]
+    secs, pair_eff = run_interleaved(args.n, tokens_path, args.runs)
+    result["levels"] = [
+        {
+            "cpus": cpus,
+            **{
+                w: {
+                    "runs_sec": [round(s, 3) for s in secs[cpus][w]],
+                    "median_sec": round(statistics.median(secs[cpus][w]), 3),
+                    "best_sec": round(min(secs[cpus][w]), 3),
+                }
+                for w in WORKLOADS
+            },
+        }
+        for cpus in (args.n, 4 * args.n)
+    ]
     result["summary"] = {}
     for w in WORKLOADS:
-        tp_lo = total_tokens / lo[w]["best_sec"]
-        tp_hi = total_tokens / hi[w]["best_sec"]
+        tp_lo = total_tokens / min(secs[args.n][w])
+        tp_hi = total_tokens / min(secs[4 * args.n][w])
         result["summary"][w] = {
             f"tokens_per_sec@local[{args.n}]": int(tp_lo),
             f"tokens_per_sec@local[{4 * args.n}]": int(tp_hi),
             "efficiency": round(tp_hi / (4 * tp_lo), 3),
+            # per-round adjacent pairs: robust to steal bursts that span a
+            # whole batched level
+            "pairwise_efficiencies": pair_eff[w],
+            "best_pair_efficiency": max(pair_eff[w]),
+            "median_pair_efficiency": round(statistics.median(pair_eff[w]), 3),
         }
     print(json.dumps(result))
 
