@@ -26,7 +26,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ddsketch_spark.functions.hashing import FOLD31, hash_params, mixed_hash_col
+from ddsketch_spark.functions.hashing import (
+    FOLD31,
+    hash_col,
+    hash_params,
+    mix_col,
+    mixed_hash_col,
+)
 from ddsketch_spark.operators.text_ops import FP_BASE, FP_MOD, fingerprint_col
 
 DEFAULT_NUM_HASHES = 16
@@ -128,12 +134,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id_col, m0..m{k-1}) min-wise signatures: one grouped pass with k
     min() aggregates over the mixed 61-bit hash (min over a linear-only
-    hash would be biased -- see functions.hashing)."""
-    aggs = [
-        F.min(mixed_hash_col(F.col("shingle"), a, b)).alias(f"m{j}")
-        for j, (a, b) in enumerate(hash_params(num_hashes, seed))
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    hash would be biased -- see functions.hashing).
+
+    The k hashes are evaluated in TWO pre-aggregation projections (linear
+    limb hashes first, then the h^2-mod-P mix over those attributes), the
+    same split approx_agg._bloom_bit_rows uses: expressions inlined into
+    the aggregate's update path fall out of whole-stage codegen past the
+    method limit (~20x slower, measured), whereas Catalyst keeps this split
+    (CollapseProject refuses to inline non-cheap aliases referenced many
+    times) so both stages stay codegen'd and the min() aggregates only see
+    plain columns. The mirror SQL oracle (plans.dedup_suite) already
+    computes lin -> MIN(mix(h)) in the same shape, so values are unchanged."""
+    params = hash_params(num_hashes, seed)
+    lin = shingles.select(
+        id_col,
+        *[
+            hash_col(F.col("shingle"), a, b).alias(f"__l{j}")
+            for j, (a, b) in enumerate(params)
+        ],
+    )
+    mixed = lin.select(
+        id_col,
+        *[mix_col(F.col(f"__l{j}")).alias(f"__m{j}") for j in range(num_hashes)],
+    )
+    return mixed.groupBy(id_col).agg(
+        *[F.min(f"__m{j}").alias(f"m{j}") for j in range(num_hashes)]
+    )
 
 
 def band_bucket_expr(cols: Sequence[str]) -> Column:

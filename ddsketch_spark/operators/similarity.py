@@ -99,13 +99,30 @@ def hyperplanes(n_planes: int = DEFAULT_PLANES, dim: int = EMB_DIM, seed: int = 
     return vals.reshape(n_planes, dim)
 
 
+def _dim_checked(vec: Column, dim: int, expr: Column) -> Column:
+    """Evaluate ``expr`` only for vectors of the configured dimension; any
+    other length raises at execution time. Without this, zip_with pads the
+    shorter array with nulls, every dot product goes NULL, and all vectors
+    silently land in bucket 0 (ADVICE r2: silent recall/perf degradation
+    instead of an error)."""
+    return F.when(F.size(vec) == F.lit(dim), expr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dimension mismatch: expected {dim}, got "),
+                F.size(vec).cast("string"),
+            )
+        ).cast("long")
+    )
+
+
 def lsh_bucket_expr(vec: Column, planes) -> Column:
-    """Sign-pattern bucket id: bit j set iff dot(vec, plane_j) > 0."""
+    """Sign-pattern bucket id: bit j set iff dot(vec, plane_j) > 0. Raises
+    at execution time if a vector's length differs from the plane dim."""
     acc = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         lit = F.array(*[F.lit(float(c)) for c in plane])
         acc = acc + F.when(dot_expr(vec, lit) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+    return _dim_checked(vec, len(planes[0]), acc)
 
 
 def lsh_ann(
@@ -269,6 +286,10 @@ def lsh_band_buckets(
     a pair is a candidate if it agrees on ALL planes of ANY band, so more
     bands -> higher recall, more planes per band -> smaller buckets."""
     n = len(planes)
+    if n % bands:
+        # fail loudly: silently truncating (r = n // bands) would drop the
+        # leftover planes and quietly weaken every band (ADVICE r2)
+        raise ValueError(f"n_planes={n} must divide evenly into bands={bands}")
     r = n // bands
     entries = []
     for band in range(bands):
@@ -276,10 +297,14 @@ def lsh_band_buckets(
         for j in range(r):
             lit = F.array(*[F.lit(float(c)) for c in planes[band * r + j]])
             acc = acc + F.when(dot_expr(F.col(vec_col), lit) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        acc = _dim_checked(F.col(vec_col), len(planes[0]), acc)
         entries.append(F.struct(F.lit(band).alias("band"), acc.alias("bucket")))
     return df.select(F.col(id_col), F.explode(F.array(*entries)).alias("__bb")).select(
         id_col, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
     )
+
+
+DEFAULT_MAX_BUCKET = 10_000
 
 
 def lsh_cosine_pairs(
@@ -291,6 +316,7 @@ def lsh_cosine_pairs(
     bands: int = 8,
     seed: int = 7,
     dim: int = EMB_DIM,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Scalable embedding near-dup pairs: hyperplane-LSH banded candidate
     generation (bucket-local self-join, NEVER all-pairs), then exact cosine
@@ -301,8 +327,24 @@ def lsh_cosine_pairs(
     planes make this value-level reproducible in SQL (the oracle derives
     the same buckets), so recall is a *defined* property, not noise. At
     100 TB the per-band bucket count 2^(n_planes/bands) is raised so bucket
-    occupancy stays bounded."""
+    occupancy stays bounded.
+
+    ``max_bucket_size`` is the same degenerate-bucket hygiene as the
+    MinHash-LSH path (operators.dedup.lsh_candidate_pairs): a mega-bucket
+    of near-identical boilerplate embeddings would otherwise produce
+    O(size^2) pairs in one task. Buckets above the cap are dropped entirely
+    (members remain candidates through their other bands); the window count
+    shares the self-join's (band, bucket) partitioning, so the cap costs no
+    extra shuffle. The cap never fires at oracle scale, so the SQL oracle
+    (which has no cap) stays exact; pass None to disable."""
     buckets = lsh_band_buckets(df, hyperplanes(n_planes, dim, seed), bands, id_col, vec_col)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= F.lit(max_bucket_size))
+            .drop("__bsz")
+        )
     a = buckets.select("band", "bucket", F.col(id_col).alias("vec_a"))
     b = buckets.select("band", "bucket", F.col(id_col).alias("vec_b"))
     cand = (

@@ -214,3 +214,36 @@ def test_lsh_cosine_pairs_subset_of_exact_with_recall(spark, sf_correct):
     }
     assert blocked <= exact
     assert len(blocked) >= 0.3 * len(exact), (len(blocked), len(exact))
+
+
+def test_emb_lsh_bucket_cap_drops_mega_cluster(spark):
+    """A planted mega-cluster of identical embeddings (same bucket in EVERY
+    band) contributes no pairs under the cap -- completes linearly instead
+    of emitting C(n,2) rows in one task (VERDICT r2 item 4)."""
+    dim = sim.EMB_DIM
+    clones = [(i, [1.0] * dim) for i in range(120)]
+    others = [(1000 + i, [float(j % 7 - 3) * (i + 1) for j in range(dim)]) for i in range(6)]
+    emb = spark.createDataFrame(clones + others, "vec_id long, embedding array<float>")
+    capped = sim.lsh_cosine_pairs(emb, 0.9, max_bucket_size=50).collect()
+    assert all(r["vec_a"] >= 1000 for r in capped), capped[:5]
+    uncapped = sim.lsh_cosine_pairs(emb, 0.9, max_bucket_size=None)
+    assert uncapped.where((F.col("vec_a") < 1000) & (F.col("vec_b") < 1000)).count() == 120 * 119 // 2
+
+
+def test_lsh_band_buckets_divisibility_raises(spark):
+    emb = spark.createDataFrame([(1, [1.0] * sim.EMB_DIM)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="divide evenly"):
+        sim.lsh_cosine_pairs(emb, 0.5, n_planes=15, bands=4)
+
+
+def test_lsh_dim_mismatch_raises(spark):
+    """A vector whose length differs from the configured dim fails LOUDLY at
+    execution (ADVICE r2: zip_with null-padding used to send every vector to
+    bucket 0 silently)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 32), (2, [2.0] * 32)], "vec_id long, embedding array<float>"
+    )
+    probes = emb.select(F.col("vec_id").alias("probe_id"), "embedding")
+    with pytest.raises(Exception) as ei:
+        sim.lsh_ann(emb, probes, 3).collect()
+    assert "dimension mismatch" in str(ei.value)
