@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ddsketch_spark.functions.hashing import FOLD31, hash_params, hash_sql, mix_sql
 from ddsketch_spark.operators import dedup as dd
-from ddsketch_spark.operators.text_ops import FP_BASE, FP_MOD, build_vocab, tokens_col
+from ddsketch_spark.operators.text_ops import FP_BASE, FP_MOD, tokenize
 from ddsketch_spark.plans.tokens_suite import VOCAB_SQL
 from ddsketch_spark.sources.tables import read_table
 
@@ -51,12 +51,11 @@ shingles AS (
 
 
 def _docs_tokens(spark: SparkSession, sf_dir: str):
+    # tokenize auto-selects literal-map vs broadcast-join coding by vocab
+    # size (operators.text_ops); identical tokens either way
     docs = read_table(spark, sf_dir, "documents")
-    vocab = build_vocab(docs)
-    toks = docs.select(
-        "doc_id", "source", tokens_col("text", vocab).alias("tokens")
-    )
-    return toks, len(vocab)
+    toked, vsize = tokenize(docs)
+    return toked.select("doc_id", "source", "tokens"), vsize
 
 
 def _bigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ddsketch_spark.functions.ddsketch_sql import SIG6_SQL, sig6_mantissa
 from ddsketch_spark.operators import similarity as sim
 from ddsketch_spark.operators import text_ops
-from ddsketch_spark.operators.text_ops import STOPWORDS, build_vocab, tokens_col
+from ddsketch_spark.operators.text_ops import STOPWORDS, tokenize
 from ddsketch_spark.plans.tokens_suite import VOCAB_SQL
 from ddsketch_spark.sources.tables import read_table
 
@@ -238,10 +238,9 @@ FROM s
 # 6. rolling-hash document fingerprint ---------------------------------------
 
 def _fp_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    vocab = build_vocab(docs)
-    return docs.select(
-        "doc_id", text_ops.fingerprint_col(tokens_col("text", vocab)).alias("fp")
+    toked, _ = tokenize(read_table(spark, sf_dir, "documents"))
+    return toked.select(
+        "doc_id", text_ops.fingerprint_col(F.col("tokens")).alias("fp")
     )
 
 

@@ -24,7 +24,7 @@ from ddsketch_spark.config import Q_GRID, DDSketchConfig
 from ddsketch_spark.functions.ddsketch_sql import sig6_mantissa
 from ddsketch_spark.operators import approx_agg as aops
 from ddsketch_spark.operators import ddsketch_agg as agg
-from ddsketch_spark.operators.text_ops import build_vocab, tokens_col
+from ddsketch_spark.operators.text_ops import tokenize
 from ddsketch_spark.plans.approx_suite import (
     HLL_CFG,
     _bloom_oracle_sql,
@@ -56,13 +56,10 @@ TOKSTREAM_SQL = f"""(
 
 
 def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    vocab = build_vocab(docs)
-    return docs.select(
-        "doc_id",
-        "source",
-        tokens_col("text", vocab).alias("tokens"),
-    )
+    # tokenize auto-selects literal-map vs broadcast-join coding by vocab
+    # size (operators.text_ops); identical tokens either way
+    toked, _ = tokenize(read_table(spark, sf_dir, "documents"))
+    return toked.select("doc_id", "source", "tokens")
 
 
 # 1. per-source + global quantiles of n_tok ----------------------------------

@@ -43,17 +43,16 @@ from ddsketch_spark.plans.checkpoint import sketch_with_checkpoint
 
 def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a tokens-shaped table from testdata `documents`: words ->
-    vocabulary ids via the deterministic map-literal coding (a pure
-    projection -- no explode, no join, no shuffle; operators.text_ops)."""
-    from ddsketch_spark.operators.text_ops import build_vocab, tokens_col
+    vocabulary ids via the deterministic coding (auto-selected literal-map
+    projection or broadcast-join by vocab size; operators.text_ops)."""
+    from ddsketch_spark.operators.text_ops import tokenize
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    vocab = build_vocab(docs)
-    toks = tokens_col("text", vocab)
-    return docs.select(
+    toked, _ = tokenize(docs)
+    return toked.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
+        "tokens",
+        F.size("tokens").cast("int").alias("n_tok"),
         "source",
     )
 

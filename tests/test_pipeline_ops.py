@@ -247,3 +247,15 @@ def test_lsh_dim_mismatch_raises(spark):
     with pytest.raises(Exception) as ei:
         sim.lsh_ann(emb, probes, 3).collect()
     assert "dimension mismatch" in str(ei.value)
+
+
+def test_tokenize_autoswitch_join_path_matches_literal(spark, docs):
+    """Over-cap vocabularies take the broadcast-join path with tokens
+    IDENTICAL to the literal-map path (VERDICT r2 item 3: the driver never
+    collects an unbounded vocabulary)."""
+    lit_df, v_lit = text_ops.tokenize(docs)
+    join_df, v_join = text_ops.tokenize(docs, max_literal_vocab=4)  # forces join
+    assert v_lit == v_join and v_lit > 4
+    a = {r["doc_id"]: r["tokens"] for r in lit_df.select("doc_id", "tokens").collect()}
+    b = {r["doc_id"]: r["tokens"] for r in join_df.select("doc_id", "tokens").collect()}
+    assert a == b
