@@ -95,7 +95,14 @@ def _compress(
     for i in range(1, means.size):
         w = int(weights[i])
         q_right = (w_before + acc_w + w) / n
-        if _k(min(q_right, 1.0), delta) <= k_limit:
+        if means[i] == acc_m:
+            # equal-mean centroids always fold (exact: the weighted mean of
+            # equal values is the value). Without this, the same value arriving
+            # from different partials stays split into duplicate centroids,
+            # which shifts interpolation midpoints -- the exactness-tier
+            # oracle models one centroid per distinct value.
+            acc_w += w
+        elif _k(min(q_right, 1.0), delta) <= k_limit:
             # fold into the current cluster (weighted mean, exact weight)
             acc_m += (means[i] - acc_m) * (w / (acc_w + w))
             acc_w += w

