@@ -171,21 +171,13 @@ def lsh_ann(
     )
 
 
-def ivf_centroids(
-    corpus: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sample: int = 512,
-    iters: int = 10,
-):
-    """Deterministic coarse quantizer: Lloyd k-means in float64 numpy over
-    the first `sample` vectors by id (deterministic sample, deterministic
-    init = first n_cells sample vectors, fixed iteration count -- no RNG).
-    Returns an (n_cells, dim) ndarray. Driver-side on a bounded sample;
-    the corpus itself is never collected."""
-    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+def kmeans_fit(x: np.ndarray, n_cells: int = 16, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means core: init = first n_cells rows, fixed
+    iteration count, float64 throughout -- no RNG, so the same input matrix
+    always yields bit-identical centroids. Shared by the Spark sampler
+    (ivf_centroids) and the SQL oracle generator (plans.sim_text_suite),
+    which embed the resulting centroids as literals in both engines."""
+    x = np.asarray(x, dtype=np.float64)
     cents = x[:n_cells].copy()
     for _ in range(iters):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -195,6 +187,22 @@ def ivf_centroids(
             if len(members):
                 cents[c] = members.mean(axis=0)
     return cents
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 10,
+):
+    """Deterministic coarse quantizer over the first `sample` vectors by id
+    (deterministic sample). Returns an (n_cells, dim) ndarray. Driver-side
+    on a bounded sample; the corpus itself is never collected."""
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return kmeans_fit(x, n_cells, iters)
 
 
 def _ivf_assign(df: DataFrame, cents, vec_col: str, out_col: str) -> DataFrame:
@@ -255,6 +263,80 @@ def ivf_ann(
         F.col(vec_col).alias("__pvec"),
         norm_expr(F.col(vec_col)).alias("__pnorm"),
         F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+    )
+    joined = tagged.join(F.broadcast(p), "__cell").where(
+        F.col(id_col) != F.col(probe_id_col)
+    )
+    scored = joined.select(
+        F.col(probe_id_col),
+        F.col(id_col).alias("neighbor"),
+        (dot_expr(F.col("__pvec"), F.col(vec_col)) / (F.col("__pnorm") * F.col("__cnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id_col, "rank", "neighbor", "cosine")
+    )
+
+
+def _cell_score_exprs(vec: Column, cents) -> list[Column]:
+    """One score column per centroid: dot(vec, c_i) - |c_i|^2/2 (argmax of
+    this over i == argmin L2). Sequential float64 folds, so DuckDB
+    list_reduce reproduces every score bit-for-bit; |c_i|^2/2 is computed
+    once in numpy and embedded as the SAME literal in both engines, so its
+    summation order never matters."""
+    c = np.asarray(cents, np.float64)
+    c2 = (c * c).sum(axis=1) / 2.0
+    out = []
+    for i in range(c.shape[0]):
+        lit = F.array(*[F.lit(float(v)) for v in c[i]])
+        out.append(dot_expr(vec, lit) - F.lit(float(c2[i])))
+    return out
+
+
+def ivf_ann_exact(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    cents,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    n_probe_cells: int = 4,
+) -> DataFrame:
+    """IVF ANN with centroid-literal fold scoring: same semantics and same
+    candidate sets as ivf_ann, but every cell score is a sequential float64
+    fold (SQL-parity tier -> value-level oracle). The Arrow-matmul ivf_ann
+    remains the 100 TB assignment path; tests pin that both variants return
+    identical rows on the fixture, which transitively verifies the matmul.
+
+    Corpus cell = argmax over the score array (first max, via
+    array_position) -- a pure projection, no shuffle. Probe cells = top
+    n_probe_cells scores (ties to the lower cell id) via posexplode +
+    window over the tiny probe set."""
+    def scores(col: Column) -> Column:
+        return F.array(*_cell_score_exprs(col, cents))
+
+    arr = scores(F.col(vec_col))
+    tagged = corpus.withColumn(
+        "__cell", (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    ).withColumn("__cnorm", norm_expr(F.col(vec_col)))
+    p0 = probes.select(
+        F.col(probe_id_col),
+        F.col(vec_col).alias("__pvec"),
+        norm_expr(F.col(vec_col)).alias("__pnorm"),
+        F.posexplode(scores(F.col(vec_col))).alias("__cell", "__score"),
+    )
+    w0 = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__score").desc(), F.col("__cell")
+    )
+    p = (
+        p0.withColumn("__cr", F.row_number().over(w0))
+        .where(F.col("__cr") <= n_probe_cells)
+        .select(probe_id_col, "__pvec", "__pnorm", F.col("__cell").cast("int").alias("__cell"))
     )
     joined = tagged.join(F.broadcast(p), "__cell").where(
         F.col(id_col) != F.col(probe_id_col)

@@ -132,17 +132,105 @@ FROM ranked WHERE rank <= {_TOPK}
 
 # 3. embedding near-dup pairs ------------------------------------------------
 
+_IVF_CELLS = 16
+_IVF_PROBE_CELLS = 4
+_IVF_SAMPLE = 512
+_IVF_ITERS = 10
+
+
 def _ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the coarse quantizer is iterative k-means (not SQL-
-    # expressible); recall + candidate-score exactness gated in pytest
+    """IVF ANN, oracle-checked (VERDICT r2 item 5). The coarse quantizer is
+    iterative k-means, which no SQL engine can run -- but it is a
+    DETERMINISTIC driver-side procedure over a bounded 512-row sample, so
+    both engines can train it identically and embed the resulting centroids
+    as literals: the SQL oracle then independently verifies everything the
+    CLUSTER does (cell assignment, probe-cell selection, candidate
+    membership, cosine rerank, top-k). Scores use sequential-fold math for
+    cross-engine bit parity; the Arrow-matmul assignment (sim.ivf_ann)
+    stays the 100 TB path, pinned equal to this variant in pytest."""
     emb = read_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    out = sim.ivf_ann(emb, probes, _TOPK, n_cells=16, n_probe_cells=4)
+    cents = sim.ivf_centroids(emb, _IVF_CELLS, sample=_IVF_SAMPLE, iters=_IVF_ITERS)
+    out = sim.ivf_ann_exact(
+        emb, probes, _TOPK, cents, n_probe_cells=_IVF_PROBE_CELLS
+    )
     return out.select(
         "probe_id", "rank", "neighbor", sig6_mantissa(F.col("cosine")).alias("cos_m6")
     )
+
+
+def _ivf_oracle_cents():
+    """Train the SAME deterministic k-means the Spark query trains, from the
+    same first-512-by-vec_id sample, reading the oracle-scale parquet
+    directly (the driver compares at sf0.01; override with
+    SPARK_GRAFT_ORACLE_SF_DIR). float32 -> float64 is exact, so both
+    engines see a bit-identical input matrix and therefore bit-identical
+    centroids."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    path = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{path}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {_IVF_SAMPLE}"
+    ).fetchall()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return sim.kmeans_fit(x, _IVF_CELLS, _IVF_ITERS)
+
+
+def _ivf_oracle_sql() -> str:
+    import numpy as np
+
+    cents = np.asarray(_ivf_oracle_cents(), np.float64)
+    c2 = (cents * cents).sum(axis=1) / 2.0
+
+    def score(vec: str, i: int) -> str:
+        lit = "([" + ", ".join(repr(float(v)) for v in cents[i]) + "]::DOUBLE[])"
+        return f"({_dot_sql(vec, lit)} - {float(c2[i])!r})"
+
+    def score_list(vec: str) -> str:
+        return "[" + ", ".join(score(vec, i) for i in range(len(cents))) + "]"
+
+    return f"""
+WITH ce AS (SELECT vec_id, embedding, {score_list('embedding')} AS sc FROM embeddings),
+c AS (
+  SELECT vec_id, embedding,
+         CAST(list_indexof(sc, list_aggregate(sc, 'max')) - 1 AS INTEGER) AS cell
+  FROM ce
+),
+pe AS (
+  SELECT vec_id AS probe_id, embedding AS pvec, {score_list('embedding')} AS sc
+  FROM embeddings WHERE vec_id < {_N_PROBES}
+),
+pc AS (
+  SELECT probe_id, pvec,
+         UNNEST(generate_series(0, {len(cents) - 1})) AS cell,
+         UNNEST(sc) AS score
+  FROM pe
+),
+pr AS (
+  SELECT probe_id, pvec, cell,
+         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cell) AS cr
+  FROM pc
+),
+p AS (SELECT probe_id, pvec, CAST(cell AS INTEGER) AS cell FROM pr WHERE cr <= {_IVF_PROBE_CELLS}),
+scored AS (
+  SELECT p.probe_id, c.vec_id AS neighbor,
+         {_cos_sql('p.pvec', 'c.embedding')} AS cosine
+  FROM c JOIN p ON c.cell = p.cell AND c.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+)
+SELECT probe_id, rank, neighbor, {SIG6_SQL.format(x='cosine')} AS cos_m6
+FROM ranked WHERE rank <= {_TOPK}
+"""
 
 
 _PAIR_PLANES = 16
@@ -293,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_cosine_topk": _TOPK_SQL,
         "ann_lsh_bucketed": _lsh_ann_oracle_sql(),
+        "ann_ivf_bucketed": _ivf_oracle_sql(),
         "emb_cosine_pairs": _cos_pairs_oracle_sql(),
         "text_quality_stats": _STATS_SQL,
         "text_langid": _LANGID_SQL,

@@ -147,6 +147,29 @@ def test_ivf_ann_recall_and_exactness(spark, sf_correct):
     assert hits / (len(brute) * 5) >= 0.5, (hits, total)
 
 
+def test_ivf_matmul_matches_fold_exact(spark, sf_correct):
+    """The Arrow-matmul assignment path (sim.ivf_ann, the 100 TB shape) must
+    return row-for-row the same result as the centroid-literal fold variant
+    (sim.ivf_ann_exact, the oracle-checked tier): this transitively extends
+    the value-level SQL oracle to the matmul path."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cents = sim.ivf_centroids(emb, 16)
+    fold = sim.ivf_ann_exact(emb, probes, 5, cents, n_probe_cells=4)
+    matmul = sim.ivf_ann(emb, probes, 5, n_cells=16, n_probe_cells=4)
+    key = lambda r: (r["probe_id"], r["rank"])
+    a = sorted(fold.collect(), key=key)
+    b = sorted(matmul.collect(), key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert (ra["probe_id"], ra["rank"], ra["neighbor"]) == (
+            rb["probe_id"], rb["rank"], rb["neighbor"]
+        )
+        assert ra["cosine"] == pytest.approx(rb["cosine"], rel=1e-12)
+
+
 def test_ivf_centroids_deterministic(spark, sf_correct):
     emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
     import numpy as np
