@@ -245,7 +245,13 @@ def cms_heavy_hitters(
     Candidate set here is the distinct items of the input (exact at test
     scale; CMS guarantees no false negatives over any candidate set). The
     100 TB path swaps the candidate source for per-partition local top-k
-    (mapInPandas heap) without touching the estimate join."""
+    (mapInPandas heap) without touching the estimate join.
+
+    Cache lifetime: the counter table below is persisted (it feeds both N
+    and the estimate join) and stays in the block manager until the caller
+    unpersists it or the session ends.  It is at most depth x width rows
+    (~KBs), so repeated invocations cost bounded memory; callers that loop
+    over many configs should ``spark.catalog.clearCache()`` between runs."""
     cfg = cfg or CMSConfig()
     v = _colref(value)
     # counters feed two consumers (N and the estimate join): persist so the

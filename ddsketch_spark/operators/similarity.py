@@ -88,6 +88,91 @@ def cosine_topk(
     )
 
 
+def cosine_topk_fast(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact brute-force top-k, Arrow-matmul scale path.
+
+    Same semantics and output shape as :func:`cosine_topk`, but scoring is
+    one numpy matmul per Arrow batch (probes collected once -- a bounded
+    probe set by contract -- and shipped in the UDF closure) instead of
+    interpreted per-pair higher-order folds; per-partition top-k heaps keep
+    only (#probes x k) rows per partition before the final window.  At
+    sf0.1 this is ~20x faster than the fold plan (measured r3).
+
+    The fold-based :func:`cosine_topk` stays registered for the suite: its
+    sequential float64 sums are what DuckDB ``list_reduce`` reproduces
+    bit-for-bit, giving the query a value-level oracle.  numpy's blocked
+    matmul summation differs in the last ulp, so this variant is pinned to
+    the fold version by rank equality in pytest instead.
+    """
+    import pyarrow as pa
+
+    prows = probes.select(probe_id_col, vec_col).collect()
+    pids = np.asarray([r[0] for r in prows], dtype=np.int64)
+    pmat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in prows])
+    pnorm = np.sqrt((pmat * pmat).sum(axis=1))
+    kk = k
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("__cid"), F.col(vec_col).alias("__vec")
+    )
+    out_pa_schema = pa.schema(
+        [
+            pa.field(probe_id_col, pa.int64()),
+            pa.field("neighbor", pa.int64()),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    def score_batches(it):
+        for batch in it:
+            ids = batch.column("__cid").to_numpy(zero_copy_only=False)
+            vec_list = batch.column("__vec").to_pylist()
+            if not vec_list:
+                continue
+            x = np.asarray(vec_list, dtype=np.float64)
+            cn = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ pmat.T) / (cn[:, None] * pnorm[None, :])  # (rows, probes)
+            # per-probe partition-local top-k (rows >> k): argpartition
+            # keeps k survivors per probe per partition; self-pairs masked
+            out_pid, out_nb, out_cos = [], [], []
+            for j in range(len(pids)):
+                cj = cos[:, j].copy()
+                cj[ids == pids[j]] = -np.inf
+                take = min(kk, len(cj))
+                cand = np.argpartition(-cj, take - 1)[:take]
+                keep = cand[np.isfinite(cj[cand])]
+                out_pid.append(np.full(len(keep), pids[j]))
+                out_nb.append(ids[keep])
+                out_cos.append(cj[keep])
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_pid)),
+                    pa.array(np.concatenate(out_nb).astype(np.int64)),
+                    pa.array(np.concatenate(out_cos)),
+                ],
+                schema=out_pa_schema,
+            )
+
+    local = src.mapInArrow(
+        score_batches, schema=f"{probe_id_col} long, neighbor long, cosine double"
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id_col, "rank", "neighbor", "cosine")
+    )
+
+
 def hyperplanes(n_planes: int = DEFAULT_PLANES, dim: int = EMB_DIM, seed: int = 7):
     """Deterministic pseudo-random hyperplanes in [-0.5, 0.5)^dim derived
     from the shared integer hash family -- reproducible in SQL."""

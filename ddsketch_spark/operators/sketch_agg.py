@@ -263,6 +263,27 @@ def build_partials(
     return src.mapInArrow(build, schema=out_schema)
 
 
+def _require_uniform_config(pdf: pd.DataFrame) -> None:
+    """Reject mixed sketch configs inside a distributed merge task.
+
+    ``core.merge_many`` falls back to the reference's pairwise tolerance
+    loop for cross-alpha inputs (ddsketch.cc:583-595) -- an ORDER-DEPENDENT
+    result.  Shuffle delivery order is nondeterministic, so a mixed-config
+    merge here would be silently nondeterministic run-to-run.  Config is
+    fixed per job by construction (one DDSketchConfig flows into
+    build_partials); this guard pins that invariant with the reference's
+    MergeError (-5) instead of letting the fallback run distributed.
+    Cross-config merges remain available driver-side via core.merge/
+    merge_many, where the caller controls the order."""
+    for colname in ("alpha0", "offset", "bin_limit", "collapse"):
+        vals = pdf[colname].unique()
+        if len(vals) > 1:
+            raise core.MergeError(
+                f"mixed '{colname}' across partials in distributed merge: "
+                f"{sorted(vals.tolist())} (reference error -5)"
+            )
+
+
 def merge_partials(
     partials: DataFrame,
     group_cols: Sequence[str] = (),
@@ -284,6 +305,7 @@ def merge_partials(
     out_schema = _group_schema_prefix(partials, group_cols) + SKETCH_STATE_FIELDS
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        _require_uniform_config(pdf)
         sketches = [from_row(r) for _, r in pdf.iterrows()]
         merged = core.merge_many(sketches)
         row = _state_to_row(merged)
@@ -302,6 +324,7 @@ def merge_partials(
         )
 
         def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            _require_uniform_config(pdf)
             merged = core.merge_many([from_row(r) for _, r in pdf.iterrows()])
             row = _state_to_row(merged)
             for g in group_cols:

@@ -103,14 +103,34 @@ def _cms_lin_union(table: str, value: str, cfg: CMSConfig) -> str:
     return " UNION ALL ".join(parts)
 
 
-def _cms_hh_oracle_sql(table: str, value: str, phi: float) -> str:
+def _cms_hh_oracle_sql(
+    table: str, value: str, phi: float | None = None, rel: float | None = None
+) -> str:
+    """Heavy hitters via CMS estimates, two threshold modes:
+
+    * ``phi`` -- classic absolute mode, est >= phi * N.  Right when
+      relative item frequencies are scale-invariant (e.g. a token stream
+      over a fixed vocabulary).
+    * ``rel`` -- data-relative mode, est >= (rel / n_distinct) * N, i.e.
+      ``rel`` x the mean per-key frequency.  Right when key cardinality
+      grows with data size (e.g. l_partkey: a phi calibrated at sf0.01
+      returned 0 rows at sf0.1).  The SQL mirrors the Spark arithmetic
+      order exactly: (rel / nd) first (the Python-double phi), then * n.
+    """
+    if (phi is None) == (rel is None):
+        raise ValueError("exactly one of phi / rel must be given")
     cfg = CMS_CFG
+    thresh = (
+        f"CAST({phi!r} AS DOUBLE) * n.n"
+        if phi is not None
+        else f"(CAST({rel!r} AS DOUBLE) / n.nd) * n.n"
+    )
     return f"""
 WITH counters AS (
   SELECT row, col, COUNT(*) AS cnt
   FROM ({_cms_lin_union(table, value, cfg)}) GROUP BY row, col
 ),
-n AS (SELECT COUNT({value}) AS n FROM {table}),
+n AS (SELECT COUNT({value}) AS n, COUNT(DISTINCT {value}) AS nd FROM {table}),
 probes AS (SELECT DISTINCT {value} AS item FROM {table} WHERE {value} IS NOT NULL),
 pcells AS (
   {' UNION ALL '.join(
@@ -123,15 +143,20 @@ est AS (
   FROM pcells p LEFT JOIN counters c ON p.row = c.row AND p.col = c.col
   GROUP BY p.item
 )
-SELECT item, est FROM est, n WHERE est >= CAST({phi!r} AS DOUBLE) * n.n
+SELECT item, est FROM est, n WHERE est >= {thresh}
 """
 
 
 def _cms_hh_spark(
-    spark: SparkSession, sf_dir: str, table: str, value: str, phi: float
+    spark: SparkSession, sf_dir: str, table: str, value: str, rel: float
 ) -> DataFrame:
     df = read_table(spark, sf_dir, table)
-    return ops.cms_heavy_hitters(df, value, phi, CMS_CFG)
+    # phi = rel / n_distinct: one exact scalar agg at plan-build time.  The
+    # distinct count shuffles only the key column and reduces to one row;
+    # at 100 TB swap in approx_count_distinct and a slack margin on rel if
+    # the exact pass is too hot (the oracle comparison needs the exact one).
+    nd = df.agg(F.countDistinct(value).alias("nd")).first()["nd"]
+    return ops.cms_heavy_hitters(df, value, rel / nd, CMS_CFG)
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "lineitem", "l_partkey", None
         ),
         "cms_heavy_hitter_parts": lambda s, d: _cms_hh_spark(
-            s, d, "lineitem", "l_partkey", 0.0008
+            s, d, "lineitem", "l_partkey", 1.5
         ),
         "bloom_membership_partkeys": lambda s, d: _bloom_spark(
             s, d, "lineitem", "l_partkey"
@@ -340,6 +365,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_distinct_users_by_type": _hll_oracle_sql("events", "user_id", "event_type"),
         "hll_distinct_parts_global": _hll_oracle_sql("lineitem", "l_partkey", None),
-        "cms_heavy_hitter_parts": _cms_hh_oracle_sql("lineitem", "l_partkey", 0.0008),
+        "cms_heavy_hitter_parts": _cms_hh_oracle_sql("lineitem", "l_partkey", rel=1.5),
         "bloom_membership_partkeys": _bloom_oracle_sql("lineitem", "l_partkey"),
     }

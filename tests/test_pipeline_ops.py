@@ -170,6 +170,27 @@ def test_ivf_matmul_matches_fold_exact(spark, sf_correct):
         assert ra["cosine"] == pytest.approx(rb["cosine"], rel=1e-12)
 
 
+def test_cosine_topk_fast_matches_fold(spark, sf_correct):
+    """The Arrow-matmul brute-force path (sim.cosine_topk_fast, the scale
+    tier) must rank identically to the fold-based sim.cosine_topk (the
+    oracle-checked tier).  Cosines agree to ~1e-12 rel (numpy's blocked
+    matmul summation vs the sequential fold differs in the last ulp, which
+    is exactly why the fold variant stays registered for the SQL oracle)."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    key = lambda r: (r["probe_id"], r["rank"])
+    a = sorted(sim.cosine_topk(emb, probes, 10).collect(), key=key)
+    b = sorted(sim.cosine_topk_fast(emb, probes, 10).collect(), key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert (ra["probe_id"], ra["rank"], ra["neighbor"]) == (
+            rb["probe_id"], rb["rank"], rb["neighbor"]
+        )
+        assert ra["cosine"] == pytest.approx(rb["cosine"], rel=1e-12)
+
+
 def test_ivf_centroids_deterministic(spark, sf_correct):
     emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
     import numpy as np

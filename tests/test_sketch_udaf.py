@@ -89,6 +89,29 @@ def test_partials_lineage(tokens):
     assert len(parts) <= 4 * 8
 
 
+def test_merge_partials_rejects_mixed_alpha(spark, tokens):
+    """Distributed merges must never mix sketch configs: the cross-alpha
+    pairwise fallback in core.merge_many is order-dependent, and shuffle
+    delivery order is nondeterministic -- so merge_partials raises the
+    reference's MergeError (-5) instead of silently taking it.  Config is
+    fixed per job (one DDSketchConfig flows through sketch_udaf); this
+    pins that invariant at the merge boundary."""
+    a = udaf.build_partials(tokens, "n_tok", DDSketchConfig(alpha=0.008))
+    b = udaf.build_partials(tokens, "n_tok", DDSketchConfig(alpha=0.02))
+    mixed = a.unionByName(b)
+    # surfaces as PythonException from the applyInPandas worker
+    with pytest.raises(Exception) as ei:
+        udaf.merge_partials(mixed).collect()
+    assert "mixed 'alpha0'" in str(ei.value)
+    # same-config partials from differently-partitioned builds still merge
+    ok = udaf.merge_partials(
+        udaf.build_partials(tokens.repartition(3), "n_tok", CFG).unionByName(
+            udaf.build_partials(tokens.repartition(5), "n_tok", CFG)
+        )
+    ).collect()
+    assert len(ok) == 1 and ok[0]["n"] == 2 * tokens.count()
+
+
 def test_collapse_pressure_udaf(spark):
     rng = np.random.default_rng(31)
     vals = rng.uniform(10, 4e5, 30000)
