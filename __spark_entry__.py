@@ -30,6 +30,7 @@ def _suites():
         dedup_suite,
         multimodal_suite,
         query_suite,
+        sampling_suite,
         sim_text_suite,
         tokens_suite,
     )
@@ -41,6 +42,7 @@ def _suites():
         dedup_suite,
         sim_text_suite,
         multimodal_suite,
+        sampling_suite,
     )
 
 

@@ -288,6 +288,69 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id_col, component): assign every node the minimum node id reachable
+    in the undirected graph ``edges`` -- the canonical "duplicate cluster"
+    step after near-dup pair detection (keep component == id_col as the
+    representative, drop the rest).
+
+    Min-label propagation: each iteration every node takes
+    min(own label, labels of its neighbours); labels are monotonically
+    nonincreasing, so the fixpoint is detected when sum(label) stops
+    changing (one scalar agg per iteration -- no row-level diff join).
+
+    Scale notes (100 TB): each iteration is one shuffle (edge-label join on
+    the node key + groupBy-min); convergence takes O(graph diameter)
+    iterations. Near-dup components are near-cliques -- LSH banding pairs
+    most members directly with the eventual representative -- so real
+    corpora converge in 2-3 iterations; ``max_iter`` bounds adversarial
+    chains (a chain of L docs needs L iterations; raise it or pre-contract
+    with a doubling scheme if such graphs are expected). Lineage is
+    truncated per iteration with ``localCheckpoint`` so the iterative plan
+    does not grow unboundedly (same pattern as the IVF k-means loop); a
+    cluster deployment would point this at a reliable checkpoint dir.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy("v")
+            .agg(F.min("component").alias("__nbr"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["v"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

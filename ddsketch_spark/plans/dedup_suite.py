@@ -163,6 +163,35 @@ WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= CAST({_LSH_VERIFY_TAU!r} AS
 """
 
 
+# 4b. duplicate clusters (connected components over verified pairs) ----------
+
+def _clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _lsh_pairs_spark(spark, sf_dir).select("doc_a", "doc_b")
+    return dd.connected_components(docs, pairs)
+
+
+def _clusters_oracle_sql() -> str:
+    # transitive closure of min labels over the symmetric near-dup edge
+    # list; MIN per node == min doc id in the connected component, exactly
+    # what min-label propagation converges to
+    return f"""
+WITH RECURSIVE
+pairs AS ({_lsh_pairs_oracle_sql().strip()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
 # 5. SimHash fingerprints ----------------------------------------------------
 
 def _simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _minhash_spark,
         "dedup_lsh_buckets": _lsh_buckets_spark,
         "dedup_lsh_pairs_verified": _lsh_pairs_spark,
+        "dedup_duplicate_clusters": _clusters_spark,
         "dedup_simhash": _simhash_spark,
         "dedup_jaccard_pairs_by_source": _jaccard_spark,
     }
@@ -237,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _minhash_oracle_sql(),
         "dedup_lsh_buckets": _lsh_buckets_oracle_sql(),
         "dedup_lsh_pairs_verified": _lsh_pairs_oracle_sql(),
+        "dedup_duplicate_clusters": _clusters_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_jaccard_pairs_by_source": _jaccard_oracle_sql(),
     }

@@ -1,0 +1,126 @@
+"""Operator-level tests for duplicate-cluster connected components
+(operators.dedup.connected_components) and deterministic hash sampling
+(operators.sampling)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.operators import sampling as smp
+from ddsketch_spark.operators.dedup import connected_components
+
+
+def _cc(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(int(n),) for n in node_ids], "doc_id long")
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edge_pairs], "doc_a long, doc_b long"
+    )
+    got = connected_components(nodes, edges, **kw).collect()
+    return {r["doc_id"]: r["component"] for r in got}
+
+
+def test_cc_chain_converges(spark):
+    # a 6-node chain needs multiple propagation rounds; everyone ends at 1
+    comp = _cc(spark, range(1, 7), [(i, i + 1) for i in range(1, 6)])
+    assert comp == {i: 1 for i in range(1, 7)}
+
+
+def test_cc_disjoint_components_and_singletons(spark):
+    comp = _cc(
+        spark,
+        [1, 2, 3, 10, 11, 20],
+        [(1, 2), (2, 3), (10, 11)],
+    )
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cc_empty_edges_identity(spark):
+    comp = _cc(spark, [5, 7, 9], [])
+    assert comp == {5: 5, 7: 7, 9: 9}
+
+
+def test_cc_star_two_rounds(spark):
+    # star centered on the max id: leaves reach the min leaf via the hub
+    comp = _cc(spark, [1, 2, 3, 99], [(99, 1), (99, 2), (99, 3)])
+    assert comp == {1: 1, 2: 1, 3: 1, 99: 1}
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 4000).withColumnRenamed("id", "doc_id").withColumn(
+        "grp", (F.col("doc_id") % 4).cast("string")
+    )
+
+
+def test_hash_sample_deterministic_and_calibrated(spark, ids_df):
+    s1 = smp.hash_sample(ids_df, "doc_id", 0.2)
+    s2 = smp.hash_sample(ids_df, "doc_id", 0.2)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2
+    # uniform hash: kept fraction concentrates around 0.2
+    assert 0.15 < len(ids1) / 4000 < 0.25
+
+
+def test_hash_sample_nested(spark, ids_df):
+    # same key hash, smaller threshold => samples are nested (a property
+    # df.sample does NOT have; used for monotone corpus growth/shrink)
+    small = {r["doc_id"] for r in smp.hash_sample(ids_df, "doc_id", 0.05).collect()}
+    big = {r["doc_id"] for r in smp.hash_sample(ids_df, "doc_id", 0.2).collect()}
+    assert small <= big
+
+
+def test_hash_sample_partition_layout_independent(spark, ids_df):
+    base = {r["doc_id"] for r in smp.hash_sample(ids_df, "doc_id", 0.1).collect()}
+    reparted = {
+        r["doc_id"]
+        for r in smp.hash_sample(ids_df.repartition(13), "doc_id", 0.1).collect()
+    }
+    assert base == reparted
+
+
+def test_stratified_sample_per_group(spark, ids_df):
+    out = smp.stratified_sample(
+        ids_df, "doc_id", "grp", {"0": 1.0, "1": 0.5}, default_fraction=0.0
+    )
+    counts = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("0") == 1000  # fraction 1.0 keeps every row
+    assert 400 < counts.get("1", 0) < 600
+    assert "2" not in counts and "3" not in counts  # default 0.0 drops
+
+
+def test_split_assign_exhaustive_disjoint(spark, ids_df):
+    out = smp.split_assign(ids_df, "doc_id", (0.8, 0.1, 0.1))
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 4000  # every row in exactly one split
+    assert 0.75 < counts["train"] / 4000 < 0.85
+    assert 0.05 < counts["val"] / 4000 < 0.15
+    assert 0.05 < counts["test"] / 4000 < 0.15
+
+
+def test_split_assign_deterministic(spark, ids_df):
+    a = smp.split_assign(ids_df, "doc_id").orderBy("doc_id").collect()
+    b = smp.split_assign(ids_df.repartition(7), "doc_id").orderBy("doc_id").collect()
+    assert [r["split"] for r in a] == [r["split"] for r in b]
+
+
+def test_validation_errors(spark, ids_df):
+    with pytest.raises(ValueError):
+        smp.hash_sample(ids_df, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        smp.split_assign(ids_df, "doc_id", (0.5,), ("a", "b"))
+    with pytest.raises(ValueError):
+        smp.split_assign(ids_df, "doc_id", (-1.0, 2.0), ("a", "b"))
+
+
+def test_split_cuts_match_assign(spark, ids_df):
+    # the exported cutpoints reproduce the assignment (the SQL oracle path)
+    cuts = smp.split_cuts((0.8, 0.1, 0.1))
+    assert len(cuts) == 2 and cuts[0] < cuts[1]
