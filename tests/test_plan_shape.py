@@ -79,6 +79,19 @@ def test_emb_cosine_pairs_no_cartesian(spark, sf_correct):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_sampling_queries_shuffle_free(spark, sf_correct):
+    """Hash sampling / split assignment are pure codegen filters and
+    projections -- a sample that shuffles 100 TB to drop 90% of it is the
+    wrong plan, so no Exchange may appear."""
+    from ddsketch_spark.plans import sampling_suite
+
+    for name, fn in sampling_suite.queries().items():
+        plan = _plan(fn(spark, sf_correct))
+        assert "Exchange" not in plan, f"{name} shuffles: {plan}"
+        # codegen'd stages print with a "*(n)" prefix in executedPlan
+        assert "*(" in plan, f"{name} fell out of codegen: {plan}"
+
+
 def test_cms_heavy_hitters_single_counter_build(spark, sf_correct):
     """The persisted counter table must appear as InMemoryTableScan in both
     consumers (N and the estimate join) instead of recomputing the
