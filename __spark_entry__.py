@@ -29,6 +29,7 @@ def _suites():
         approx_suite,
         dedup_suite,
         multimodal_suite,
+        pipeline_suite,
         query_suite,
         sampling_suite,
         sim_text_suite,
@@ -43,6 +44,7 @@ def _suites():
         sim_text_suite,
         multimodal_suite,
         sampling_suite,
+        pipeline_suite,
     )
 
 

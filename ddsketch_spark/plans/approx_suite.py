@@ -14,6 +14,7 @@ the aggregation mirrors the numpy core line by line.
 from __future__ import annotations
 
 import math
+from dataclasses import replace
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,14 +94,35 @@ def _hll_spark(
 # CMS: heavy-hitter part keys
 # ---------------------------------------------------------------------------
 
-def _cms_lin_union(table: str, value: str, cfg: CMSConfig) -> str:
+def _cms_lin_union(
+    table: str, value: str, cfg: CMSConfig, width_expr: str | None = None
+) -> str:
     """UNION ALL of the d per-row hashed cell streams."""
+    w = width_expr or str(cfg.width)
     parts = [
-        f"SELECT {i} AS row, {hash_sql(value, a, b)} % {cfg.width} AS col "
+        f"SELECT {i} AS row, {hash_sql(value, a, b)} % {w} AS col "
         f"FROM {table} WHERE {value} IS NOT NULL"
         for i, (a, b) in enumerate(cfg.hash_abs)
     ]
     return " UNION ALL ".join(parts)
+
+
+def _hh_width(nd: int) -> int:
+    """Auto-sized CMS width for the data-relative heavy-hitter mode:
+    4x the distinct-key count, clamped to [2048, 262144].
+
+    Why: the rel-mode threshold is ~rel x the MEAN per-key frequency
+    (N/nd), but a fixed-width CMS has a collision floor of ~N/width per
+    cell -- once nd >> width the floor exceeds the threshold and every
+    candidate's estimate passes (sf0.1 emitted all 20k partkeys with
+    width=2048).  width = 4*nd puts the floor at ~mean/4, a quarter of the
+    signal the threshold looks for.  Integer-exact formula so the DuckDB
+    oracle reproduces it from COUNT(DISTINCT) inside the query.  The
+    262144 cap (4 x 2 MiB counters) bounds the broadcast at billions of
+    distinct keys; when the cap binds, raise ``rel`` or switch the
+    candidate source to per-partition local top-k (see
+    operators.approx_agg.cms_heavy_hitters)."""
+    return min(max(2048, 4 * nd), 262144)
 
 
 def _cms_hh_oracle_sql(
@@ -125,16 +147,27 @@ def _cms_hh_oracle_sql(
         if phi is not None
         else f"(CAST({rel!r} AS DOUBLE) / n.nd) * n.n"
     )
+    # rel mode auto-sizes the width from the distinct count (_hh_width);
+    # the scalar subquery reproduces the exact integer formula in SQL
+    if rel is not None:
+        wexpr = "(SELECT w FROM wparam)"
+        wparam = (
+            f"wparam AS (SELECT GREATEST(2048, LEAST(262144, "
+            f"4 * COUNT(DISTINCT {value}))) AS w FROM {table}),\n"
+        )
+    else:
+        wexpr, wparam = None, ""
+    pcol = wexpr or str(cfg.width)
     return f"""
-WITH counters AS (
+WITH {wparam}counters AS (
   SELECT row, col, COUNT(*) AS cnt
-  FROM ({_cms_lin_union(table, value, cfg)}) GROUP BY row, col
+  FROM ({_cms_lin_union(table, value, cfg, width_expr=wexpr)}) GROUP BY row, col
 ),
 n AS (SELECT COUNT({value}) AS n, COUNT(DISTINCT {value}) AS nd FROM {table}),
 probes AS (SELECT DISTINCT {value} AS item FROM {table} WHERE {value} IS NOT NULL),
 pcells AS (
   {' UNION ALL '.join(
-      f"SELECT item, {i} AS row, {hash_sql('item', a, b)} % {cfg.width} AS col FROM probes"
+      f"SELECT item, {i} AS row, {hash_sql('item', a, b)} % {pcol} AS col FROM probes"
       for i, (a, b) in enumerate(cfg.hash_abs)
   )}
 ),
@@ -156,7 +189,8 @@ def _cms_hh_spark(
     # at 100 TB swap in approx_count_distinct and a slack margin on rel if
     # the exact pass is too hot (the oracle comparison needs the exact one).
     nd = df.agg(F.countDistinct(value).alias("nd")).first()["nd"]
-    return ops.cms_heavy_hitters(df, value, rel / nd, CMS_CFG)
+    cfg = replace(CMS_CFG, width=_hh_width(nd))
+    return ops.cms_heavy_hitters(df, value, rel / nd, cfg)
 
 
 # ---------------------------------------------------------------------------
