@@ -115,6 +115,9 @@ def main() -> None:
             5,
         ).collect(),
         "text_fingerprint": lambda: _suite_q("text_fingerprint").collect(),
+        "pipeline_retained_corpus": lambda: _suite_q(
+            "pipeline_retained_corpus"
+        ).collect(),
     }
 
     # warm the JVM + Python workers once (excluded from timings)
