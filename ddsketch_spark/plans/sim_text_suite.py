@@ -286,6 +286,38 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= CAST({_COS_TAU!r} AS DOUBLE)
 """
 
 
+# 3b. embedding duplicate clusters (connected components over near-dup
+# pairs -- the same operator the token-shingle path uses, composed over a
+# different modality) ---------------------------------------------------------
+
+def _emb_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_spark.operators.dedup import connected_components
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = _cos_pairs_spark(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(emb, pairs, id_col="vec_id")
+
+
+def _emb_clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ({_cos_pairs_oracle_sql().strip()}),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION ALL
+  SELECT vec_b AS u, vec_a AS v FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS vec_id, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
 # 4. text quality stats ------------------------------------------------------
 
 def _stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": _lsh_ann_spark,
         "ann_ivf_bucketed": _ivf_spark,
         "emb_cosine_pairs": _cos_pairs_spark,
+        "emb_dup_clusters": _emb_clusters_spark,
         "text_quality_stats": _stats_spark,
         "text_langid": _langid_spark,
         "text_fingerprint": _fp_spark,
@@ -383,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _lsh_ann_oracle_sql(),
         "ann_ivf_bucketed": _ivf_oracle_sql(),
         "emb_cosine_pairs": _cos_pairs_oracle_sql(),
+        "emb_dup_clusters": _emb_clusters_oracle_sql(),
         "text_quality_stats": _STATS_SQL,
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _FP_SQL,
