@@ -22,7 +22,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Default parallelism is 8, not the 32 advertised vCPUs: the host grants
+# only ~8 real cores (capacity probe in BASELINE.md §3 -- 32 workers
+# measure BELOW 8 workers), and an A/B of the two token queries measured
+# local[8] 2-7x faster than local[32] (1.36s vs 2.78s Arrow-UDAF, 1.7s vs
+# 4.2s native, same session protocol).  Oversubscribing threads onto the
+# granted quota benchmarks scheduler thrash, not the engine.  Override
+# with SPARK_GRAFT_CPUS.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 BENCH_DOCS = int(os.environ.get("DDSKETCH_BENCH_DOCS", "60000"))
 
 
