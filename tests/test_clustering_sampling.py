@@ -120,6 +120,33 @@ def test_validation_errors(spark, ids_df):
         smp.split_assign(ids_df, "doc_id", (-1.0, 2.0), ("a", "b"))
 
 
+def test_cc_random_graph_matches_union_find(spark):
+    # seeded random sparse graph vs a pure-Python union-find oracle
+    import random
+
+    rng = random.Random(7)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    got = _cc(spark, range(n), edges, max_iter=50)
+    assert got == want
+
+
 def test_split_cuts_match_assign(spark, ids_df):
     # the exported cutpoints reproduce the assignment (the SQL oracle path)
     cuts = smp.split_cuts((0.8, 0.1, 0.1))
