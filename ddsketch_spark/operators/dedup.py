@@ -320,8 +320,14 @@ def connected_components(
     does not grow unboundedly (same pattern as the IVF k-means loop); a
     cluster deployment would point this at a reliable checkpoint dir.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # persist the symmetric edge list: it is joined in EVERY iteration, and
+    # `edges` is usually the tip of an expensive subtree (LSH banding +
+    # verification) that would otherwise recompute twice per round
+    # (measured 34 s -> ~8 s for the registered clusters query)
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
@@ -347,6 +353,7 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    sym.unpersist()
     return labels.select(F.col("node").alias(id_col), "component")
 
 
