@@ -88,6 +88,9 @@ def cosine_topk(
     )
 
 
+DEFAULT_MAX_PROBES = 4096
+
+
 def cosine_topk_fast(
     corpus: DataFrame,
     probes: DataFrame,
@@ -95,6 +98,7 @@ def cosine_topk_fast(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    max_probes: int = DEFAULT_MAX_PROBES,
 ) -> DataFrame:
     """Exact brute-force top-k, Arrow-matmul scale path.
 
@@ -113,7 +117,17 @@ def cosine_topk_fast(
     """
     import pyarrow as pa
 
-    prows = probes.select(probe_id_col, vec_col).collect()
+    # the probe set is collected to the driver and shipped in the UDF
+    # closure -- enforce the "bounded by contract" limit explicitly instead
+    # of trusting the docstring (VERDICT r3 item 6): limit+1 bounds the
+    # collect itself, so an oversized probe table can never OOM the driver
+    prows = probes.select(probe_id_col, vec_col).limit(max_probes + 1).collect()
+    if len(prows) > max_probes:
+        raise ValueError(
+            f"cosine_topk_fast collects probes to the driver; got more than "
+            f"max_probes={max_probes} rows -- raise max_probes explicitly or "
+            f"split the probe set"
+        )
     pids = np.asarray([r[0] for r in prows], dtype=np.int64)
     pmat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in prows])
     pnorm = np.sqrt((pmat * pmat).sum(axis=1))
@@ -139,18 +153,34 @@ def cosine_topk_fast(
             x = np.asarray(vec_list, dtype=np.float64)
             cn = np.sqrt((x * x).sum(axis=1))
             cos = (x @ pmat.T) / (cn[:, None] * pnorm[None, :])  # (rows, probes)
-            # per-probe partition-local top-k (rows >> k): argpartition
-            # keeps k survivors per probe per partition; self-pairs masked
+            # per-probe partition-local top-k (rows >> k): keep the first k
+            # rows of the SAME total order the final window uses -- (cosine
+            # desc, neighbor asc) -- so ties at the k-th score survive
+            # deterministically (ADVICE r3: plain argpartition kept an
+            # arbitrary tied candidate and diverged from cosine_topk on
+            # exact-duplicate embeddings). argpartition finds the k-th score
+            # in O(rows); only boundary ties pay an id sort.
             out_pid, out_nb, out_cos = [], [], []
             for j in range(len(pids)):
                 cj = cos[:, j].copy()
                 cj[ids == pids[j]] = -np.inf
-                take = min(kk, len(cj))
-                cand = np.argpartition(-cj, take - 1)[:take]
-                keep = cand[np.isfinite(cj[cand])]
+                valid = np.flatnonzero(np.isfinite(cj))
+                take = min(kk, len(valid))
+                if take == 0:
+                    continue
+                cand = valid[np.argpartition(-cj[valid], take - 1)[:take]]
+                kth = cj[cand].min()
+                above = valid[cj[valid] > kth]
+                ties = valid[cj[valid] == kth]
+                need = take - len(above)
+                keep = np.concatenate(
+                    [above, ties[np.argsort(ids[ties], kind="stable")][:need]]
+                )
                 out_pid.append(np.full(len(keep), pids[j]))
                 out_nb.append(ids[keep])
                 out_cos.append(cj[keep])
+            if not out_pid:
+                continue
             yield pa.record_batch(
                 [
                     pa.array(np.concatenate(out_pid)),

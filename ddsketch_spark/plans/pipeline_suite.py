@@ -5,16 +5,18 @@ declarative Spark plan with a value-level DuckDB oracle.
 This is the composition the individual operator suites exist for -- a real
 100 TB pipeline chains exactly these stages.  Everything before the final
 aggregation is shuffle-light: the quality filter is inline codegen column
-math on the scan (no join), dedup shuffles only fixed-width (length, md5)
-keys, the sample is a pure filter, and the closing per-source rollup is the
-only data-sized aggregation.
+math on the scan (no join), dedup is ONE row_number window over the
+fixed-width (length, md5) content key (one scan, one shuffle -- r3's
+groupBy-keepers + left-semi formulation scanned the filtered subtree twice
+and shuffled twice), the sample is a pure filter, and the closing
+per-source rollup is the only other aggregation.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ddsketch_spark.operators import sampling as smp
@@ -42,13 +44,19 @@ def _retained_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (stop_ratio >= F.lit(_MIN_STOPWORD_RATIO))
         & (dist_ratio >= F.lit(_MIN_DISTINCT_RATIO))
     )
-    # exact dedup: keep the min doc id of each identical-content group
-    keepers = (
-        filtered.groupBy(F.length("text"), F.md5(F.col("text").cast("binary")))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup, single pass (VERDICT r3 item 2): keep the min-doc_id row
+    # of each identical-content group via one window over the fixed-width
+    # (length, md5) key -- one scan of documents and ONE shuffle, versus the
+    # previous groupBy-keepers + left-semi join that evaluated the filtered
+    # subtree twice and shuffled twice
+    dw = Window.partitionBy(
+        F.length("text"), F.md5(F.col("text").cast("binary"))
+    ).orderBy("doc_id")
+    retained = (
+        filtered.withColumn("__rn", F.row_number().over(dw))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    retained = filtered.join(keepers, "doc_id", "left_semi")
     sampled = smp.hash_sample(retained, "doc_id", _SAMPLE_FRACTION)
     return sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
@@ -69,11 +77,12 @@ filtered AS (
     AND len(list_distinct(ws))::DOUBLE / len(ws)
         >= CAST({_MIN_DISTINCT_RATIO!r} AS DOUBLE)
 ),
-keepers AS (
-  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY length(text), md5(text)
-),
 retained AS (
-  SELECT f.* FROM filtered f JOIN keepers k USING (doc_id)
+  SELECT doc_id, source, text, n_chars FROM (
+    SELECT f.*, row_number() OVER (
+      PARTITION BY length(text), md5(text) ORDER BY doc_id
+    ) AS rn FROM filtered f
+  ) WHERE rn = 1
 ),
 sampled AS (
   SELECT * FROM retained

@@ -46,6 +46,28 @@ def test_cc_star_two_rounds(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 99: 1}
 
 
+def test_cc_long_chain_log_iterations(spark):
+    """Pointer doubling: a planted 200-node chain converges in O(log L)
+    rounds (propagation alone would need ~200 and previously exhausted
+    max_iter=25 silently -- VERDICT r3 item 5 / ADVICE r3)."""
+    n = 200
+    stats: dict = {}
+    comp = _cc(
+        spark, range(n), [(i, i + 1) for i in range(n - 1)],
+        max_iter=12, stats=stats,
+    )
+    assert comp == {i: 0 for i in range(n)}
+    assert stats["converged"] is True
+    assert stats["iterations"] <= 9, stats
+
+
+def test_cc_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving raises instead of
+    returning a silently-partial clustering (ADVICE r3)."""
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, range(30), [(i, i + 1) for i in range(29)], max_iter=1)
+
+
 @pytest.fixture(scope="module")
 def ids_df(spark):
     return spark.range(0, 4000).withColumnRenamed("id", "doc_id").withColumn(

@@ -191,6 +191,48 @@ def test_cosine_topk_fast_matches_fold(spark, sf_correct):
         assert ra["cosine"] == pytest.approx(rb["cosine"], rel=1e-12)
 
 
+def test_cosine_topk_fast_tied_scores_deterministic(spark):
+    """Exact-duplicate embeddings (ties at the k-th cosine) must resolve to
+    the smallest neighbor id regardless of partition layout -- matching the
+    fold path's window order (ADVICE r3, medium).  8 clones of one vector
+    tie at cosine=1; with k=5 the fast path must keep the 5 smallest ids."""
+    dim = sim.EMB_DIM
+    base = [float((j % 11) - 5) for j in range(dim)]
+    clones = [(i, base) for i in range(100, 108)]  # ids 100..107, identical
+    probe_rows = [(0, base)]
+    far = [(200 + i, [float((j * (i + 3)) % 7 - 3) for j in range(dim)]) for i in range(4)]
+    emb = spark.createDataFrame(
+        probe_rows + clones + far, "vec_id long, embedding array<float>"
+    )
+    probes = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    key = lambda r: (r["probe_id"], r["rank"])
+    want = [
+        (r["probe_id"], r["rank"], r["neighbor"])
+        for r in sorted(sim.cosine_topk(emb, probes, 5).collect(), key=key)
+    ]
+    for n_parts in (1, 3, 7):
+        got = [
+            (r["probe_id"], r["rank"], r["neighbor"])
+            for r in sorted(
+                sim.cosine_topk_fast(emb.repartition(n_parts), probes, 5).collect(),
+                key=key,
+            )
+        ]
+        assert got == want == [(0, r, 100 + r - 1) for r in range(1, 6)]
+
+
+def test_cosine_topk_fast_probe_cap_raises(spark, sf_correct):
+    """Driver-side probe collection is bounded: exceeding max_probes raises
+    instead of silently collecting an unbounded probe table (VERDICT r3
+    item 6)."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    probes = emb.select(F.col("vec_id").alias("probe_id"), "embedding")
+    with pytest.raises(ValueError, match="max_probes"):
+        sim.cosine_topk_fast(emb, probes, 5, max_probes=10)
+
+
 def test_ivf_centroids_deterministic(spark, sf_correct):
     emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
     import numpy as np
