@@ -55,8 +55,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(oracle_sf_dir: str | None = None) -> dict[str, str]:
+    """``oracle_sf_dir``: the sf_dir the Spark side of the comparison runs
+    at (defaults to the driver's sf0.01 contract). Threaded into suites
+    whose oracle SQL embeds scale-derived literals (the IVF centroids)."""
+    import inspect
+
     out: dict[str, str] = {}
     for suite in _suites():
-        out.update(suite.oracle_sql())
+        if "oracle_sf_dir" in inspect.signature(suite.oracle_sql).parameters:
+            out.update(suite.oracle_sql(oracle_sf_dir=oracle_sf_dir))
+        else:
+            out.update(suite.oracle_sql())
     return out

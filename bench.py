@@ -38,7 +38,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from ddsketch_spark.config import Q_GRID, DDSketchConfig
+    from ddsketch_spark.core.kll import KLLConfig
+    from ddsketch_spark.core.tdigest import TDigestConfig
     from ddsketch_spark.operators import ddsketch_agg as agg
+    from ddsketch_spark.operators import quantile_agg as qa
     from ddsketch_spark.operators import similarity as sim
     from ddsketch_spark.operators import sketch_agg as udaf
     from ddsketch_spark.sources.fixtures import generate_tokens_table
@@ -105,6 +108,18 @@ def main() -> None:
         ).collect(),
         "dds_native_tokens_by_source": lambda: agg.sketch(
             tokens, "tokens", cfg, group_cols=("source",), explode_array=True
+        ).collect(),
+        # compacting-regime quantile sketches (fixed delta=200 / k=200,
+        # bounded state -- the 100 TB configuration; ADVICE r3: the
+        # exactness-tier suite queries auto-size to the data, so their
+        # timings measure effectively exact algorithms, not sketch behavior)
+        "tdigest_price_compacting": lambda: qa.quantiles(
+            lineitem, "l_extendedprice", qa.tdigest_ops(TDigestConfig(delta=200.0)),
+            Q_GRID,
+        ).collect(),
+        "kll_events_compacting": lambda: qa.quantiles(
+            events, "value", qa.kll_ops(KLLConfig(k=200)), Q_GRID,
+            group_cols=("event_type",),
         ).collect(),
         "hll_users_by_type": lambda: _suite_q("hll_distinct_users_by_type").collect(),
         "cms_heavy_parts": lambda: _suite_q("cms_heavy_hitter_parts").collect(),

@@ -350,6 +350,97 @@ SELECT {gout}q, {SIG6_SQL.format(x='estimate')} AS est_m6, n FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# t-digest / KLL COMPACTING-regime queries with rank-bound oracles
+# (VERDICT r3 item 1)
+#
+# These run the configuration a real 100 TB job runs: FIXED delta=200 /
+# k=200 with actual compaction, so per-group sketch state is bounded
+# (O(delta) centroids / O(k log(n/k)) items) no matter how large the data
+# grows -- unlike the exactness tier above, whose auto-sized parameter keeps
+# one centroid per distinct value.
+#
+# The estimate itself is partition-order dependent (inherent to both
+# sketches), so the query does NOT emit it. It emits the published
+# rank-accuracy GUARANTEE as a boolean: the Spark side computes the exact
+# rank of its own estimate (one conditional aggregation over the data,
+# broadcast-joined against the tiny estimate table) and checks
+# |rank(est) - q*n| <= eps*n -- the same gate pytest asserts across
+# distributions (tests/test_quantile_sketches.py). That boolean is
+# deterministic whenever the sketch honors its bound, so the DuckDB oracle
+# is simply TRUE per (group, q) alongside the exact n: a value-level,
+# hash-comparable contract over the compacting path (cf. the reference's
+# own accuracy-oracle pattern, main.cpp:947-992).
+# ---------------------------------------------------------------------------
+
+_TDIGEST_DELTA = 200.0
+_TDIGEST_EPS = 6.0 / _TDIGEST_DELTA  # pytest-gated rank bound at delta=200
+_KLL_K = 200
+_KLL_EPS = 2 * 2.9 / _KLL_K  # 2x margin on the random-parity bound
+
+
+def _quantile_compacting_spark(
+    spark: SparkSession, sf_dir: str, table: str, value: str, group: str | None,
+    kind: str,
+) -> DataFrame:
+    from ddsketch_spark.core.kll import KLLConfig
+    from ddsketch_spark.core.tdigest import TDigestConfig
+    from ddsketch_spark.operators import quantile_agg as qa
+
+    df = read_table(spark, sf_dir, table)
+    if kind == "tdigest":
+        ops, eps = qa.tdigest_ops(TDigestConfig(delta=_TDIGEST_DELTA)), _TDIGEST_EPS
+    else:
+        ops, eps = qa.kll_ops(KLLConfig(k=_KLL_K)), _KLL_EPS
+    groups = list((group,) if group else ())
+    est = qa.quantiles(df, value, ops, _EXACT_QS, group_cols=groups)
+    data = df.where(F.col(value).isNotNull()).select(
+        *groups, F.col(value).cast("double").alias("__x")
+    )
+    # exact rank of each estimate: rank(est) = count(x <= est), i.e.
+    # searchsorted-right -- the same definition the pytest gate uses. The
+    # estimate table is (#groups x #qs) rows, so it broadcasts; the rank
+    # pass is one scan + one partial-aggregating shuffle of
+    # (#groups x #qs) counter rows, never data-sized.
+    joined = (
+        data.join(F.broadcast(est), on=groups) if groups
+        else data.crossJoin(F.broadcast(est))
+    )
+    ranked = joined.groupBy(*groups, "q", "n").agg(
+        F.sum(F.when(F.col("__x") <= F.col("estimate"), 1).otherwise(0)).alias(
+            "__rank"
+        )
+    )
+    return ranked.select(
+        *groups,
+        "q",
+        (
+            F.abs(F.col("__rank") - F.col("q") * F.col("n"))
+            <= F.lit(eps) * F.col("n")
+        ).alias("within_rank_bound"),
+        F.col("n"),
+    )
+
+
+def _rank_bound_oracle_sql(table: str, value: str, group: str | None) -> str:
+    """The oracle side of the rank-bound contract: the published guarantee
+    says the boolean is always TRUE, and n is the exact non-null count."""
+    gsel = f"{group}, " if group else ""
+    if group:
+        return f"""
+WITH v AS (SELECT {group} FROM {table} WHERE {value} IS NOT NULL),
+n AS (SELECT {group}, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY {group}),
+qs AS (SELECT DISTINCT {gsel}UNNEST([{_EXACT_QS_SQL}]) AS q FROM v)
+SELECT qs.{group} AS {group}, qs.q AS q, TRUE AS within_rank_bound, n.n AS n
+FROM qs JOIN n ON qs.{group} = n.{group}
+"""
+    return f"""
+WITH n AS (SELECT CAST(COUNT({value}) AS BIGINT) AS n FROM {table})
+SELECT qs.q AS q, TRUE AS within_rank_bound, n.n AS n
+FROM (SELECT UNNEST([{_EXACT_QS_SQL}]) AS q) qs, n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # all four are exactness-tier (auto-sized sketch param, see block
@@ -367,6 +458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "kll_quantiles_nchars_by_source": lambda s, d: _quantile_exact_spark(
             s, d, "documents", "n_chars", "source", "kll"
+        ),
+        # compacting regime (fixed delta/k, bounded state -- the 100 TB
+        # configuration) under the driver's value-level gate via the
+        # rank-bound boolean contract (see block above)
+        "tdigest_quantiles_price_compacting": lambda s, d: _quantile_compacting_spark(
+            s, d, "lineitem", "l_extendedprice", None, "tdigest"
+        ),
+        "kll_quantiles_events_compacting": lambda s, d: _quantile_compacting_spark(
+            s, d, "events", "value", "event_type", "kll"
         ),
         "hll_distinct_users_by_type": lambda s, d: _hll_spark(
             s, d, "events", "user_id", "event_type"
@@ -396,6 +496,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kll_quantiles_nchars_by_source": _kll_exact_oracle_sql(
             "documents", "n_chars", "source"
+        ),
+        "tdigest_quantiles_price_compacting": _rank_bound_oracle_sql(
+            "lineitem", "l_extendedprice", None
+        ),
+        "kll_quantiles_events_compacting": _rank_bound_oracle_sql(
+            "events", "value", "event_type"
         ),
         "hll_distinct_users_by_type": _hll_oracle_sql("events", "user_id", "event_type"),
         "hll_distinct_parts_global": _hll_oracle_sql("lineitem", "l_partkey", None),

@@ -161,19 +161,17 @@ def _ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_cents():
+def _ivf_oracle_cents(path: str):
     """Train the SAME deterministic k-means the Spark query trains, from the
-    same first-512-by-vec_id sample, reading the oracle-scale parquet
-    directly (the driver compares at sf0.01; override with
-    SPARK_GRAFT_ORACLE_SF_DIR). float32 -> float64 is exact, so both
-    engines see a bit-identical input matrix and therefore bit-identical
-    centroids."""
-    import os
-
+    same first-512-by-vec_id sample, reading the parquet at ``path`` -- the
+    sf_dir the comparison harness will run the Spark side at (ADVICE r3:
+    the env-only default silently embedded sf0.01 centroids into
+    comparisons run at any other scale). float32 -> float64 is exact, so
+    both engines see a bit-identical input matrix and therefore
+    bit-identical centroids."""
     import duckdb
     import numpy as np
 
-    path = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     rows = duckdb.sql(
         f"SELECT embedding FROM read_parquet('{path}/embeddings.parquet') "
         f"ORDER BY vec_id LIMIT {_IVF_SAMPLE}"
@@ -182,10 +180,10 @@ def _ivf_oracle_cents():
     return sim.kmeans_fit(x, _IVF_CELLS, _IVF_ITERS)
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_oracle_sql(oracle_sf_dir: str) -> str:
     import numpy as np
 
-    cents = np.asarray(_ivf_oracle_cents(), np.float64)
+    cents = np.asarray(_ivf_oracle_cents(oracle_sf_dir), np.float64)
     c2 = (cents * cents).sum(axis=1) / 2.0
 
     def score(vec: str, i: int) -> str:
@@ -410,11 +408,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(oracle_sf_dir: str | None = None) -> dict[str, str]:
+    """``oracle_sf_dir`` must be the sf_dir the comparison harness runs the
+    Spark side at (the driver compares at sf0.01, the default; override via
+    SPARK_GRAFT_ORACLE_SF_DIR or the parameter).  Only the IVF query embeds
+    scale-derived literals (k-means centroids trained from the first 512
+    vectors), so it is the only entry that would diverge on a mismatch."""
+    import os
+
+    oracle_sf_dir = oracle_sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     return {
         "ann_cosine_topk": _TOPK_SQL,
         "ann_lsh_bucketed": _lsh_ann_oracle_sql(),
-        "ann_ivf_bucketed": _ivf_oracle_sql(),
+        "ann_ivf_bucketed": _ivf_oracle_sql(oracle_sf_dir),
         "emb_cosine_pairs": _cos_pairs_oracle_sql(),
         "emb_dup_clusters": _emb_clusters_oracle_sql(),
         "text_quality_stats": _STATS_SQL,

@@ -42,8 +42,13 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
 def _entries():
     import __spark_entry__ as entry
 
+    from tests.conftest import SF_CORRECT
+
     qs = entry.queries()
-    oracles = entry.oracle_sql()
+    # thread the comparison scale explicitly so scale-derived oracle
+    # literals (IVF centroids) are trained from the SAME parquet the Spark
+    # side reads (ADVICE r3)
+    oracles = entry.oracle_sql(oracle_sf_dir=SF_CORRECT)
     return qs, oracles
 
 

@@ -161,3 +161,35 @@ def test_kll_weight_conservation_odd_compactions():
             int(buf.size) << lv for lv, buf in enumerate(sk.levels)
         )
         assert retained == total == sk.n, (retained, total, sk.n)
+
+
+# ---------------------------------------------------------------------------
+# Compacting-regime registered queries (VERDICT r3 item 1)
+# ---------------------------------------------------------------------------
+
+def test_compacting_queries_bound_holds_at_sf01(spark):
+    """The registered rank-bound queries (fixed delta=200 / k=200, real
+    compaction) emit within_rank_bound == TRUE at sf0.1 too -- the scale the
+    bench runs at, 10x the driver's oracle scale."""
+    from ddsketch_spark.plans import approx_suite
+
+    qs = approx_suite.queries()
+    for name in ("tdigest_quantiles_price_compacting", "kll_quantiles_events_compacting"):
+        rows = qs[name](spark, "/root/testdata/sf0.1").collect()
+        assert len(rows) >= len(Q_GRID)
+        bad = [r.asDict() for r in rows if not r["within_rank_bound"]]
+        assert not bad, (name, bad)
+
+
+def test_compacting_regime_state_bounded(spark, sf_correct):
+    """The fixed-parameter pipeline actually compacts: merged per-group
+    state stays O(delta) centroids / O(k log(n/k)) items at sf0.01 -- unlike
+    the exactness tier, whose state is one centroid per distinct value."""
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    n = li.count()
+    td_states = qa.sketch_agg(li, "l_extendedprice", qa.tdigest_ops(TDigestConfig(delta=200))).collect()
+    assert len(td_states) == 1
+    assert len(td_states[0]["means"]) <= 2 * 200 < n
+    kll_states = qa.sketch_agg(li, "l_extendedprice", qa.kll_ops(KLLConfig(k=200))).collect()
+    assert len(kll_states) == 1
+    assert len(kll_states[0]["items"]) < 3 * 200 * np.log2(n / 200) < n
