@@ -234,18 +234,67 @@ def cms_point_query(
     return joined.groupBy("probe").agg(F.min("cnt").alias("est"))
 
 
+def local_topk_candidates(
+    df: DataFrame,
+    value: Column | str,
+    k_local: int = 1024,
+    prune_factor: int = 32,
+) -> DataFrame:
+    """(item) heavy-hitter candidates: per-partition top-``k_local`` items
+    by local count, via one Arrow-batched mapInPandas pass -- the 100 TB
+    candidate source (VERDICT r3 item 4).  No shuffle of the value column
+    ever happens: each partition emits at most k_local rows, and the only
+    aggregation downstream is a distinct over the
+    (#partitions x k_local)-row union.
+
+    Memory per task is bounded: running counts are pruned to the top
+    ``prune_factor * k_local`` keys whenever they exceed
+    ``2 * prune_factor * k_local``.  Pruning makes the source approximate
+    for keys whose counts accumulate slowly across many batches (same
+    space/recall trade as SpaceSaving); any phi-heavy key with a
+    within-partition concentration above k_local-th place survives.  CMS
+    estimation downstream is unchanged -- candidates only gate WHICH keys
+    are estimated, and estimates keep the no-underestimate guarantee."""
+    src = df.select(_colref(value).alias("item")).where(F.col("item").isNotNull())
+    item_type = src.schema["item"].dataType.simpleString()
+    prune_at = 2 * prune_factor * k_local
+
+    def topk(batches):
+        counts = None
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > prune_at:
+                counts = counts.nlargest(prune_factor * k_local)
+        if counts is not None and len(counts):
+            top = counts.nlargest(min(k_local, len(counts)))
+            yield pd.DataFrame({"item": top.index.to_numpy()})
+
+    return src.mapInPandas(topk, schema=f"item {item_type}").distinct()
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value: Column | str,
     phi: float,
     cfg: CMSConfig | None = None,
+    candidate_source: str = "distinct",
+    k_local: int = 1024,
 ) -> DataFrame:
     """(item, est) candidates with estimated frequency >= phi * N.
 
-    Candidate set here is the distinct items of the input (exact at test
-    scale; CMS guarantees no false negatives over any candidate set). The
-    100 TB path swaps the candidate source for per-partition local top-k
-    (mapInPandas heap) without touching the estimate join.
+    ``candidate_source`` picks how candidate keys are enumerated:
+
+    * ``"distinct"`` -- exact distinct items of the input.  Right while key
+      cardinality is moderate; shuffles the key column once.
+    * ``"local_topk"`` -- per-partition top-``k_local`` by local count
+      (:func:`local_topk_candidates`); never shuffles the value column, so
+      it is the 100 TB path when cardinality is data-sized.  CMS guarantees
+      no false negatives over whichever candidate set is supplied.
+
+    Callers that already know the distinct count switch on it the same way
+    the vocab path does (plans.approx_suite._cms_hh_spark: nd <= cap ->
+    distinct, beyond -> local_topk).
 
     Cache lifetime: the counter table below is persisted (it feeds both N
     and the estimate join) and stays in the block manager until the caller
@@ -260,7 +309,12 @@ def cms_heavy_hitters(
     cnts = cms_counters(df, value, cfg).persist()
     # N = total inserted = sum of any one counter row (row 0): no extra scan
     n = cnts.where(F.col("row") == 0).agg(F.sum("cnt").alias("n"))
-    candidates = df.select(v.alias("item")).distinct()
+    if candidate_source == "local_topk":
+        candidates = local_topk_candidates(df, value, k_local)
+    elif candidate_source == "distinct":
+        candidates = df.select(v.alias("item")).distinct()
+    else:
+        raise ValueError(f"unknown candidate_source: {candidate_source!r}")
     pr = candidates.select(
         F.col("item").alias("probe"),
         F.explode(cms_cell_cols(F.col("item"), cfg)).alias("cell"),

@@ -180,6 +180,13 @@ SELECT item, est FROM est, n WHERE est >= {thresh}
 """
 
 
+# distinct-candidate enumeration stays exact while cardinality is moderate;
+# beyond this the value column must not be shuffled for candidates, so the
+# per-partition local top-k source takes over (same auto-switch shape as the
+# vocab coding path, operators.text_ops)
+_HH_DISTINCT_CAP = 1 << 20
+
+
 def _cms_hh_spark(
     spark: SparkSession, sf_dir: str, table: str, value: str, rel: float
 ) -> DataFrame:
@@ -190,7 +197,8 @@ def _cms_hh_spark(
     # the exact pass is too hot (the oracle comparison needs the exact one).
     nd = df.agg(F.countDistinct(value).alias("nd")).first()["nd"]
     cfg = replace(CMS_CFG, width=_hh_width(nd))
-    return ops.cms_heavy_hitters(df, value, rel / nd, cfg)
+    source = "distinct" if nd <= _HH_DISTINCT_CAP else "local_topk"
+    return ops.cms_heavy_hitters(df, value, rel / nd, cfg, candidate_source=source)
 
 
 # ---------------------------------------------------------------------------

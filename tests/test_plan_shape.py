@@ -99,3 +99,44 @@ def test_cms_heavy_hitters_single_counter_build(spark, sf_correct):
     li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
     out = aops.cms_heavy_hitters(li, "l_partkey", 0.0008, CMSConfig())
     assert "InMemoryTableScan" in _plan(out)
+
+
+def test_cms_heavy_hitters_local_topk_matches_distinct(spark, sf_correct):
+    """The 100 TB candidate source (per-partition local top-k, no shuffle of
+    the value column) finds the same heavy hitters as exact distinct
+    enumeration at fixture scale (k_local >> per-partition cardinality, so
+    no pruning and no candidate loss), and its plan contains no global
+    distinct / exchange of the raw value column before candidate rows exist
+    (VERDICT r3 item 4)."""
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    cfg = CMSConfig(depth=4, width=8192)
+    key = lambda r: r["item"]
+    want = sorted(
+        aops.cms_heavy_hitters(li, "l_partkey", 0.0008, cfg).collect(), key=key
+    )
+    got = sorted(
+        aops.cms_heavy_hitters(
+            li, "l_partkey", 0.0008, cfg, candidate_source="local_topk",
+            k_local=100_000,
+        ).collect(),
+        key=key,
+    )
+    assert [(r["item"], r["est"]) for r in got] == [
+        (r["item"], r["est"]) for r in want
+    ]
+    assert len(want) > 0
+    # plan shape: candidates come from MapInPandas directly over the scan --
+    # no Exchange may sit between the parquet scan and the MapInPandas node
+    cand = aops.local_topk_candidates(li, "l_partkey", 100_000)
+    plan = _plan(cand)
+    map_idx = plan.find("MapInPandas")
+    assert map_idx != -1, plan
+    # the subtree under MapInPandas (executedPlan prints children after it)
+    # must be exchange-free -- candidates are computed partition-locally
+    assert "Exchange" not in plan[map_idx:], plan
+
+
+def test_cms_heavy_hitters_unknown_source_raises(spark, sf_correct):
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    with pytest.raises(ValueError, match="candidate_source"):
+        aops.cms_heavy_hitters(li, "l_partkey", 0.1, CMSConfig(), candidate_source="nope")
