@@ -345,3 +345,37 @@ def test_tokenize_autoswitch_join_path_matches_literal(spark, docs):
     a = {r["doc_id"]: r["tokens"] for r in lit_df.select("doc_id", "tokens").collect()}
     b = {r["doc_id"]: r["tokens"] for r in join_df.select("doc_id", "tokens").collect()}
     assert a == b
+
+
+def test_minhash_lsh_full_path_mega_cluster_subquadratic(spark):
+    """End-to-end degenerate-input property for the MinHash path (VERDICT r3
+    item 8): a planted mega-cluster of IDENTICAL token docs (same signature
+    -> same bucket in every band) contributes zero pairs under the
+    per-band cap, so total candidate-pair count stays sub-quadratic; the
+    uncapped control emits the full C(n,2). (The synthetic-buckets test
+    above pins the cap operator; this one drives shingles -> signatures ->
+    banding -> pairs.)"""
+    from ddsketch_spark.operators import dedup as dd
+
+    n_clones = 150
+    clone_toks = list(range(1, 40))
+    clones = [(f"c{i:03d}", clone_toks) for i in range(n_clones)]
+    # distinct docs: disjoint token ranges -> no shared shingles
+    others = [
+        (f"u{i}", list(range(1000 * (i + 1), 1000 * (i + 1) + 30))) for i in range(8)
+    ]
+    df = spark.createDataFrame(clones + others, "doc_id string, tokens array<int>")
+    sh = dd.doc_shingles(df, "tokens", 3, 1 << 20)
+    sig = dd.minhash_signatures(sh)
+    buckets = dd.lsh_buckets(sig)
+    capped = dd.lsh_candidate_pairs(buckets, max_bucket_size=50).collect()
+    assert all(
+        not (r["doc_a"].startswith("c") and r["doc_b"].startswith("c"))
+        for r in capped
+    ), capped[:5]
+    assert len(capped) <= n_clones + 8  # sub-quadratic: linear bound
+    uncapped = dd.lsh_candidate_pairs(buckets, max_bucket_size=None)
+    clone_pairs = uncapped.where(
+        F.col("doc_a").startswith("c") & F.col("doc_b").startswith("c")
+    )
+    assert clone_pairs.count() == n_clones * (n_clones - 1) // 2

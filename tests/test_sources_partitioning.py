@@ -87,6 +87,11 @@ def test_read_table_iceberg_branch(spark, sf_correct):
         with pytest.raises(Exception) as ei:
             read_table(spark, "iceberg:local.db", "lineitem")
         assert "iceberg" in str(ei.value).lower()
-        pytest.skip("no Iceberg runtime jar in sandbox; branch raises as expected")
+        pytest.skip(
+            "no Iceberg runtime jar obtainable in sandbox (no jar on disk, "
+            "no network for ivy/pip, no pyiceberg -- see the impossibility "
+            "note in ddsketch_spark/sources/tables.py); branch raises as "
+            "expected"
+        )
     df = read_table(spark, "iceberg:local.db", "lineitem")
     assert "l_extendedprice" in df.columns
