@@ -201,6 +201,24 @@ def _cms_hh_spark(
     return ops.cms_heavy_hitters(df, value, rel / nd, cfg, candidate_source=source)
 
 
+def _cms_hh_local_topk_spark(
+    spark: SparkSession, sf_dir: str, table: str, value: str, rel: float
+) -> DataFrame:
+    """Same heavy-hitter query, but candidates come from the 100 TB source
+    (per-partition local top-k, value column never shuffled) -- registered
+    so the scale path sits under the driver's value-level gate, not just a
+    pytest pin.  The oracle is the SAME distinct-candidate SQL: with
+    k_local (2^17) far above per-partition cardinality at oracle scale, no
+    pruning occurs and the candidate set equals the distinct set exactly
+    (CMS then estimates both identically)."""
+    df = read_table(spark, sf_dir, table)
+    nd = df.agg(F.countDistinct(value).alias("nd")).first()["nd"]
+    cfg = replace(CMS_CFG, width=_hh_width(nd))
+    return ops.cms_heavy_hitters(
+        df, value, rel / nd, cfg, candidate_source="local_topk", k_local=1 << 17
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom: membership of probe keys against the lineitem partkey set
 # ---------------------------------------------------------------------------
@@ -485,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitter_parts": lambda s, d: _cms_hh_spark(
             s, d, "lineitem", "l_partkey", 1.5
         ),
+        "cms_heavy_hitters_local_topk": lambda s, d: _cms_hh_local_topk_spark(
+            s, d, "lineitem", "l_partkey", 1.5
+        ),
         "bloom_membership_partkeys": lambda s, d: _bloom_spark(
             s, d, "lineitem", "l_partkey"
         ),
@@ -514,5 +535,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users_by_type": _hll_oracle_sql("events", "user_id", "event_type"),
         "hll_distinct_parts_global": _hll_oracle_sql("lineitem", "l_partkey", None),
         "cms_heavy_hitter_parts": _cms_hh_oracle_sql("lineitem", "l_partkey", rel=1.5),
+        "cms_heavy_hitters_local_topk": _cms_hh_oracle_sql(
+            "lineitem", "l_partkey", rel=1.5
+        ),
         "bloom_membership_partkeys": _bloom_oracle_sql("lineitem", "l_partkey"),
     }

@@ -19,7 +19,19 @@ Methodology notes (both matter; see BASELINE.md §3):
   default is N=2 -> 4N=8, which lies inside the machine's real capacity;
   `--probe` prints the capacity curve used to justify this.
 
-Run:  python jobs/scaling_bench.py [--n-docs 300000] [--n 2] [--runs 3] [--probe]
+* `--affinity` (r4, VERDICT r3 item 7): bind each measurement's ENTIRE
+  process tree (driver, JVM, Python workers, Arrow feeder threads) to N
+  physical CPUs via `taskset`, not just `local[N]` task slots. In local
+  mode the JVM parquet-scan/Arrow-feeder threads are NOT bounded by
+  local[N], so a local[2] Arrow-UDAF job really uses ~3 host cores --
+  inflating the small-N baseline and deflating measured efficiency (the
+  structural caveat in BASELINE.md §3). CPU affinity is inherited by every
+  child, so N granted cores vs 4N granted cores is the faithful sandbox
+  analog of N vs 4N executor containers (which are cgroup-bounded on a
+  real cluster).
+
+Run:  python jobs/scaling_bench.py [--n-docs 300000] [--n 2] [--runs 3]
+      [--probe] [--affinity] [--wait-quiet]
 """
 
 from __future__ import annotations
@@ -113,17 +125,54 @@ def measure_once(cpus: int, tokens_path: str, workload: str) -> float:
     return secs
 
 
-def _one_subprocess(cpus: int, tokens_path: str, workload: str) -> list[float]:
+def steal_pct(window: float = 8.0) -> float:
+    """Host-steal percentage over ``window`` seconds (col 8 of /proc/stat's
+    cpu line). Firecracker steal storms inflate identical runs 3-10x, so
+    measurements taken above ~2% steal are untrustworthy."""
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7]  # total jiffies, steal jiffies
+
+    t0, s0 = snap()
+    time.sleep(window)
+    t1, s1 = snap()
+    return 100.0 * (s1 - s0) / max(t1 - t0, 1)
+
+
+def wait_quiet(threshold: float = 2.0, max_wait: float = 1800.0) -> float:
+    """Block until host steal drops below ``threshold`` percent (or
+    max_wait elapses); returns the last observed steal."""
+    waited = 0.0
+    while True:
+        s = steal_pct()
+        print(f"# steal={s:.2f}%", file=sys.stderr)
+        if s < threshold or waited >= max_wait:
+            return s
+        waited += 30.0
+        time.sleep(22.0)
+
+
+def _one_subprocess(
+    cpus: int, tokens_path: str, workload: str, affinity: bool = False
+) -> list[float]:
+    cmd = [sys.executable, os.path.abspath(__file__), "--single",
+           "--cpus", str(cpus), "--tokens-path", tokens_path, "--workload", workload]
+    if affinity:
+        # bind the whole tree (JVM + python workers inherit it) to `cpus`
+        # physical CPUs -- the executor-container analog
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--single",
-         "--cpus", str(cpus), "--tokens-path", tokens_path, "--workload", workload],
-        capture_output=True, text=True, cwd=REPO, timeout=1800,
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=1800,
     )
     line = r.stdout.strip().splitlines()[-1]
     return json.loads(line)["secs"]
 
 
-def run_interleaved(n: int, tokens_path: str, runs: int) -> tuple[dict, dict]:
+def run_interleaved(
+    n: int, tokens_path: str, runs: int, affinity: bool = False
+) -> tuple[dict, dict]:
     """Measure the two levels INTERLEAVED (lo, hi, lo, hi, ...) so both
     sample the same host-steal regime: the microVM's multi-x steal bursts
     last minutes, so batching all lo runs then all hi runs can hand one
@@ -136,7 +185,7 @@ def run_interleaved(n: int, tokens_path: str, runs: int) -> tuple[dict, dict]:
         round_best: dict = {}
         for cpus in (n, 4 * n):
             for w in WORKLOADS:
-                s = _one_subprocess(cpus, tokens_path, w)
+                s = _one_subprocess(cpus, tokens_path, w, affinity=affinity)
                 secs[cpus][w].extend(s)
                 round_best[(cpus, w)] = min(s)
         for w in WORKLOADS:
@@ -152,6 +201,10 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2, help="N; 4N is run too")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--probe", action="store_true")
+    ap.add_argument("--affinity", action="store_true",
+                    help="bind each measurement's whole process tree to N/4N CPUs")
+    ap.add_argument("--wait-quiet", action="store_true",
+                    help="block until host steal < 2%% before measuring")
     ap.add_argument("--single", action="store_true", help="internal: one measurement")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--tokens-path")
@@ -172,10 +225,17 @@ def main() -> None:
         pq.read_table(tokens_path, columns=["n_tok"])["n_tok"].to_numpy().sum()
     )
 
-    result: dict = {"n": args.n, "n_docs": args.n_docs, "total_tokens": total_tokens}
+    result: dict = {
+        "n": args.n, "n_docs": args.n_docs, "total_tokens": total_tokens,
+        "affinity": bool(args.affinity),
+    }
+    if args.wait_quiet:
+        result["steal_pct_at_start"] = round(wait_quiet(), 2)
     if args.probe:
         result["cpu_capacity_probe_iters_per_sec"] = probe_capacity()
-    secs, pair_eff = run_interleaved(args.n, tokens_path, args.runs)
+    secs, pair_eff = run_interleaved(
+        args.n, tokens_path, args.runs, affinity=args.affinity
+    )
     result["levels"] = [
         {
             "cpus": cpus,
