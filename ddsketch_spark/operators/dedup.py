@@ -288,6 +288,54 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """(id_col, n_hits, contaminated): per corpus document, the number of
+    DISTINCT n-gram shingles it shares with the evaluation set, and whether
+    that count reaches ``min_hits`` -- the standard train/test
+    decontamination step of an LLM data pipeline (flag-and-drop training
+    documents that contain benchmark n-grams).
+
+    Inputs are (id, shingle) streams from :func:`doc_shingles` (which
+    already emits DISTINCT shingles per doc, so COUNT(*) after the join is
+    the distinct-overlap count). ``corpus_docs`` supplies the full id set
+    so clean documents surface with n_hits = 0 instead of vanishing.
+
+    Scale shape (100 TB): the eval set is small by nature (benchmark suites
+    are thousands of documents), so its distinct shingles broadcast; the
+    corpus shingle stream is filtered by a broadcast hash join in the scan
+    stage and the per-doc count partially aggregates map-side -- the only
+    shuffles carry (doc_id, n_hits) for HIT documents and the final
+    doc_id-keyed left join. The corpus is never self-joined and eval data
+    never shuffles."""
+    ev = eval_shingles.select("shingle").distinct()
+    hits = (
+        corpus_shingles.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus_docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= F.lit(min_hits)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # duplicate clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 

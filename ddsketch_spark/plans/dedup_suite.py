@@ -249,6 +249,54 @@ WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= CAST({_JACCARD_TAU!r} AS DO
 """
 
 
+# 7. benchmark decontamination ------------------------------------------------
+#
+# Eval set = every doc with doc_id % 41 == 0 (a deterministic stand-in for a
+# benchmark suite); corpus = everything else. A corpus doc is contaminated
+# when it shares >= 1 trigram shingle with any eval doc. n_hits is an exact
+# integer (distinct shared trigrams), so the oracle is value-level.
+
+_DECON_MOD = 41
+
+
+def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, vsize = _docs_tokens(spark, sf_dir)
+    # the trigram stream feeds two consumers (eval + corpus split): persist
+    # so tokenization + explode run once
+    sh = dd.doc_shingles(toks, "tokens", 3, vsize).persist()
+    eval_sh = sh.where(F.col("doc_id") % _DECON_MOD == 0)
+    corpus_sh = sh.where(F.col("doc_id") % _DECON_MOD != 0)
+    corpus_docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _DECON_MOD != 0
+    )
+    return dd.decontaminate(corpus_sh, eval_sh, corpus_docs)
+
+
+def _decontam_oracle_sql() -> str:
+    bigram = "[tokens[i] * base + tokens[i+1] FOR i IN generate_series(1, len(tokens)-1)]"
+    trigram = (
+        "[(tokens[i] * base + tokens[i+1]) * base + tokens[i+2] "
+        "FOR i IN generate_series(1, len(tokens)-2)]"
+    )
+    assert bigram in _TOKS_SQL, "shared toks CTE changed; update trigram rewrite"
+    toks3 = _TOKS_SQL.replace(bigram, trigram)
+    return f"""
+WITH {toks3},
+eval_sh AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits
+  FROM shingles s JOIN eval_sh e USING (shingle)
+  WHERE s.doc_id % {_DECON_MOD} <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_DECON_MOD} <> 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_content": _exact_spark,
@@ -258,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_duplicate_clusters": _clusters_spark,
         "dedup_simhash": _simhash_spark,
         "dedup_jaccard_pairs_by_source": _jaccard_spark,
+        "decontam_ngram_overlap": _decontam_spark,
     }
 
 
@@ -270,4 +319,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_duplicate_clusters": _clusters_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_jaccard_pairs_by_source": _jaccard_oracle_sql(),
+        "decontam_ngram_overlap": _decontam_oracle_sql(),
     }

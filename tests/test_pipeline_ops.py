@@ -379,3 +379,27 @@ def test_minhash_lsh_full_path_mega_cluster_subquadratic(spark):
         F.col("doc_a").startswith("c") & F.col("doc_b").startswith("c")
     )
     assert clone_pairs.count() == n_clones * (n_clones - 1) // 2
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc sharing a trigram with the eval set is flagged with the
+    exact distinct-overlap count; clean docs surface with n_hits=0."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [5, 6, 7, 8, 9]),       # contains eval trigram (6,7,8) & (7,8,9)
+            (2, [20, 21, 22, 23]),      # clean
+            (3, [6, 7, 8, 6, 7, 8]),    # repeated eval trigram -> 1 DISTINCT hit
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, [6, 7, 8, 9, 10])], "doc_id long, tokens array<int>"
+    )
+    vsize = 30
+    c_sh = dd.doc_shingles(corpus, "tokens", 3, vsize)
+    e_sh = dd.doc_shingles(eval_docs, "tokens", 3, vsize)
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in dd.decontaminate(c_sh, e_sh, corpus.select("doc_id")).collect()
+    }
+    assert out == {1: (2, True), 2: (0, False), 3: (1, True)}
