@@ -95,3 +95,28 @@ def test_read_table_iceberg_branch(spark, sf_correct):
         )
     df = read_table(spark, "iceberg:local.db", "lineitem")
     assert "l_extendedprice" in df.columns
+
+
+def test_write_table_partitioned_prunes_on_read(spark, sf_correct, tmp_path):
+    """write_table(partition_by=source) + a source-filtered read must show
+    partition pruning at the scan (the input_hint layout: the token table
+    is partitioned by source so per-source queries touch one partition).
+    The executed plan's scan reports the partition filter and the row count
+    matches the exact per-source count."""
+    from ddsketch_spark.sources.tables import write_table
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    out = str(tmp_path / "docs_by_source")
+    write_table(docs, out, partition_by=("source",))
+
+    back = spark.read.parquet(out)
+    one = back.where(F.col("source") == "src3")
+    explained = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    # the source predicate must be a PartitionFilter on the scan, not a
+    # post-scan Filter over all partitions
+    assert "PartitionFilters" in explained
+    assert "src3" in explained.split("PartitionFilters")[1].split("\n")[0]
+    want = docs.where(F.col("source") == "src3").count()
+    assert one.count() == want > 0
