@@ -315,6 +315,76 @@ SELECT 'ALL' AS source, q, bucket_key, est_m6, n FROM ({glob})
 
 
 # ---------------------------------------------------------------------------
+# sketch-DRIVEN filtering: trim per-source outliers above the DDSketch p99
+# (the way a pipeline actually consumes the sketch -- compute once, broadcast
+# the tiny threshold table, filter the fact table in the scan stage). The
+# threshold is the p99 BUCKET KEY (exact integer in both engines -- the same
+# keyed CTE every green dds_* query stands on), so the filter is
+# value-level deterministic; estimates never enter a comparison.
+# ---------------------------------------------------------------------------
+
+_TRIM_Q = 0.99
+
+
+def _trim_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddsketch_spark.functions.ddsketch_sql import dds_key, dds_strip_offset
+
+    df = read_table(spark, sf_dir, "documents")
+    thr = agg.quantiles(
+        df, "n_chars", (_TRIM_Q,), OCFG, group_cols=("source",)
+    ).select("source", F.col("bucket_key").alias("__thr_key"))
+    keyed = df.select(
+        "source",
+        "n_chars",
+        dds_strip_offset(
+            dds_key(F.col("n_chars").cast("double"), OCFG), OCFG
+        ).alias("__key"),
+    )
+    keep = F.col("__key") <= F.col("__thr_key")
+    return (
+        keyed.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+    )
+
+
+def _trim_oracle_sql() -> str:
+    off = OCFG.offset
+    strip = f"CASE WHEN key > 0 THEN key - {off} WHEN key < 0 THEN key + {off} ELSE 0 END"
+    return f"""
+WITH keyed AS (
+  SELECT source, n_chars, {strip} AS skey
+  FROM (
+    SELECT source, n_chars, {_key_sql('v')} AS key
+    FROM (SELECT source, n_chars, CAST(n_chars AS DOUBLE) AS v
+          FROM documents WHERE n_chars IS NOT NULL)
+  )
+),
+hist AS (SELECT source, skey, COUNT(*) AS cnt FROM keyed GROUP BY source, skey),
+tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY source),
+cum AS (SELECT source, skey, SUM(cnt) OVER (PARTITION BY source ORDER BY skey) AS cumc FROM hist),
+thr AS (
+  SELECT t.source,
+         (SELECT MIN(c.skey) FROM cum c
+           WHERE c.source = t.source AND c.cumc > CAST({_TRIM_Q} AS DOUBLE) * (t.n - 1)) AS thr_key
+  FROM tot t
+)
+SELECT k.source,
+       CAST(SUM(CASE WHEN k.skey <= thr.thr_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN k.skey > thr.thr_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN k.skey <= thr.thr_key THEN k.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+FROM keyed k JOIN thr ON k.source = thr.source
+GROUP BY k.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -330,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_weighted_quantiles_price": _weighted_quantiles_spark,
         "dds_histogram_price_collapsed": _collapsed_spark,
         "dds_delete_quantity": _delete_spark,
+        "dds_trim_outliers_by_source": _trim_spark,
     }
 
 
@@ -345,4 +416,5 @@ def oracle_sql() -> dict[str, str]:
         "dds_weighted_quantiles_price": _WEIGHTED_SQL,
         "dds_histogram_price_collapsed": _collapsed_oracle_sql(),
         "dds_delete_quantity": _DELETE_SQL,
+        "dds_trim_outliers_by_source": _trim_oracle_sql(),
     }

@@ -139,3 +139,56 @@ def stream_sketch_states(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_quantile_sketch_states(
+    stream_df: DataFrame,
+    value: str,
+    ops,
+    group_cols: Sequence[str] = ("source",),
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """t-digest / KLL in the streaming state store: one bounded sketch per
+    group (``ops`` is a quantile_agg adapter -- tdigest_ops()/kll_ops()),
+    absorbed per micro-batch with the vectorized numpy core, emitting the
+    refreshed quantile grid (group..., q, estimate, n).
+
+    Unlike the DDSketch path, incremental absorption is NOT byte-identical
+    to the one-shot batch build (both sketches compact as data arrives, so
+    retained state depends on arrival chunking) -- but every emission
+    honors the published rank bound, which is what the streaming test
+    gates (same contract as the batch compacting tier in
+    plans.approx_suite). State stays O(delta) / O(k log(n/k)) per group
+    regardless of stream length."""
+    group_cols = list(group_cols)
+    qs = [float(q) for q in qs]
+    state_schema = ops.state_fields
+    state_keys = [f.split(" ")[0] for f in state_schema.split(", ")]
+    out_schema = (
+        _group_schema_prefix(stream_df, group_cols) + "q double, estimate double, n long"
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            sk = ops.core.from_dict(dict(zip(state_keys, state.get)))
+        else:
+            sk = ops.empty()
+        for pdf in pdfs:
+            vals = pdf[value].to_numpy(dtype=np.float64, na_value=np.nan)
+            ops.add(sk, vals)  # cores drop NaN internally
+        d = ops.to_row(sk)
+        state.update(tuple(d[k] for k in state_keys))
+        ests = ops.core.quantiles(sk, qs)
+        out = pd.DataFrame({"q": qs, "estimate": ests, "n": sk.n})
+        for g, kv in zip(group_cols, key):
+            out[g] = kv
+        yield out[group_cols + ["q", "estimate", "n"]]
+
+    src = stream_df.select(*group_cols, value)
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -140,3 +140,17 @@ def test_cms_heavy_hitters_unknown_source_raises(spark, sf_correct):
     li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
     with pytest.raises(ValueError, match="candidate_source"):
         aops.cms_heavy_hitters(li, "l_partkey", 0.1, CMSConfig(), candidate_source="nope")
+
+
+def test_compacting_rank_pass_broadcasts(spark, sf_correct):
+    """The rank-bound verification join (data x tiny estimate table) must be
+    a broadcast hash join -- shuffling the fact table against a
+    (#groups x #qs)-row estimate table would be the wrong plan at scale."""
+    from ddsketch_spark.plans import approx_suite
+
+    out = approx_suite.queries()["kll_quantiles_events_compacting"](
+        spark, sf_correct
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -117,3 +117,48 @@ def test_stream_hll_equals_batch(spark, sf_correct, events_stream):
         for r in aops.hll_registers(batch, "user_id", cfg, group_cols=("event_type",)).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("kind", ["tdigest", "kll"])
+def test_stream_quantile_sketches_rank_bound(spark, sf_correct, events_stream, kind):
+    """Streaming t-digest/KLL (fixed delta=200 / k=200, real compaction in
+    the state store): after the final micro-batch, every per-group estimate
+    honors the published rank bound vs the exact values, and n is exact.
+    Incremental absorption is not byte-identical to the batch build (both
+    sketches compact as data arrives) -- the rank bound IS the contract,
+    same as the batch compacting tier."""
+    import numpy as np
+
+    from ddsketch_spark.core.kll import KLLConfig
+    from ddsketch_spark.core.tdigest import TDigestConfig
+    from ddsketch_spark.operators import quantile_agg as qa
+
+    if kind == "tdigest":
+        ops, eps = qa.tdigest_ops(TDigestConfig(delta=200.0)), 6.0 / 200.0
+    else:
+        ops, eps = qa.kll_ops(KLLConfig(k=200)), 2 * 2.9 / 200
+    qs = (0.1, 0.5, 0.9)
+    out = ss.stream_quantile_sketch_states(
+        events_stream, "value", ops, group_cols=("event_type",), qs=qs
+    )
+    _run_to_memory(out, f"qsketch_stream_{kind}", "update")
+    rows = spark.sql(f"SELECT * FROM qsketch_stream_{kind}").collect()
+    # 'update' mode appends one emission per group per micro-batch; the
+    # final state is the row with the largest n per (group, q)
+    final: dict = {}
+    for r in rows:
+        k = (r["event_type"], r["q"])
+        if k not in final or r["n"] > final[k]["n"]:
+            final[k] = r
+    pdf = (
+        spark.read.parquet(f"{sf_correct}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    by_type = {et: g["value"].to_numpy() for et, g in pdf.groupby("event_type")}
+    assert {k[0] for k in final} == set(by_type)
+    for (et, q), r in final.items():
+        vals = np.sort(by_type[et])
+        assert r["n"] == len(vals)
+        rank = np.searchsorted(vals, r["estimate"], side="right")
+        assert abs(rank - q * len(vals)) <= eps * len(vals), (et, q, r["estimate"])
