@@ -137,6 +137,8 @@ def main() -> None:
             5,
         ).collect(),
         "text_fingerprint": lambda: _suite_q("text_fingerprint").collect(),
+        "decontam_ngram_overlap": lambda: _suite_q("decontam_ngram_overlap").collect(),
+        "dds_trim_outliers": lambda: _suite_q("dds_trim_outliers_by_source").collect(),
         "pipeline_retained_corpus": lambda: _suite_q(
             "pipeline_retained_corpus"
         ).collect(),

@@ -280,6 +280,7 @@ def cms_heavy_hitters(
     cfg: CMSConfig | None = None,
     candidate_source: str = "distinct",
     k_local: int = 1024,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(item, est) candidates with estimated frequency >= phi * N.
 
@@ -291,6 +292,12 @@ def cms_heavy_hitters(
       (:func:`local_topk_candidates`); never shuffles the value column, so
       it is the 100 TB path when cardinality is data-sized.  CMS guarantees
       no false negatives over whichever candidate set is supplied.
+
+    ``candidates`` (one column, ``item``) overrides both: pass a
+    pre-materialized candidate table so its build cost is shared with other
+    consumers -- plans.approx_suite._cms_hh_spark persists the distinct set
+    once and reuses it for BOTH the width-sizing count and the probes,
+    cutting the query from three input scans to two (VERDICT r3).
 
     Callers that already know the distinct count switch on it the same way
     the vocab path does (plans.approx_suite._cms_hh_spark: nd <= cap ->
@@ -309,7 +316,9 @@ def cms_heavy_hitters(
     cnts = cms_counters(df, value, cfg).persist()
     # N = total inserted = sum of any one counter row (row 0): no extra scan
     n = cnts.where(F.col("row") == 0).agg(F.sum("cnt").alias("n"))
-    if candidate_source == "local_topk":
+    if candidates is not None:
+        pass  # caller-supplied (already persisted/shared)
+    elif candidate_source == "local_topk":
         candidates = local_topk_candidates(df, value, k_local)
     elif candidate_source == "distinct":
         candidates = df.select(v.alias("item")).distinct()
