@@ -380,6 +380,56 @@ FROM toks
 """
 
 
+# 6b. per-source top-k corpus selection by quality score ----------------------
+#
+# The "keep the best documents per source" pipeline step: rank every doc by
+# a quality score inside its source, keep the top k. One window over the
+# (source)-partitioned stats -- no join, no collect. Score = stopword_ratio
+# + distinct_ratio (both exact rationals of counts, IEEE-deterministic in
+# both engines; compared at 6-digit mantissa like every float estimate).
+
+_QUALITY_TOPK = 5
+
+
+def _topk_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = text_ops.words_col("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_words = F.size(w)
+    score = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n_words
+        + F.size(F.array_distinct(w)).cast("double") / n_words
+    )
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    win = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _QUALITY_TOPK)
+        .select("source", "rank", "doc_id", sig6_mantissa(F.col("score")).alias("score_m6"))
+    )
+
+
+_TOPK_QUALITY_SQL = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, source,
+         len(list_filter(ws, x -> list_contains({list(STOPWORDS)!r}, x)))::DOUBLE / len(ws)
+         + len(list_distinct(ws))::DOUBLE / len(ws) AS score
+  FROM w
+),
+r AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+  FROM s
+)
+SELECT source, rank, doc_id, {SIG6_SQL.format(x='score')} AS score_m6
+FROM r WHERE rank <= {_QUALITY_TOPK}
+"""
+
+
 # 7. regex token counting ----------------------------------------------------
 
 def _tokcount_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _langid_spark,
         "text_fingerprint": _fp_spark,
         "text_token_count": _tokcount_spark,
+        "text_topk_quality_per_source": _topk_quality_spark,
     }
 
 
@@ -429,4 +480,5 @@ def oracle_sql(oracle_sf_dir: str | None = None) -> dict[str, str]:
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _FP_SQL,
         "text_token_count": _TOKCOUNT_SQL,
+        "text_topk_quality_per_source": _TOPK_QUALITY_SQL,
     }

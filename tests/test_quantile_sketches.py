@@ -193,3 +193,28 @@ def test_compacting_regime_state_bounded(spark, sf_correct):
     kll_states = qa.sketch_agg(li, "l_extendedprice", qa.kll_ops(KLLConfig(k=200))).collect()
     assert len(kll_states) == 1
     assert len(kll_states[0]["items"]) < 3 * 200 * np.log2(n / 200) < n
+
+
+def test_compacting_rank_bound_partition_layout_independent(spark, sf_correct):
+    """The rank-bound boolean the driver gate compares must hold for ANY
+    partition layout: estimates vary with layout (inherent to compacting
+    sketches) but every layout's estimate stays within eps*n ranks -- the
+    property that makes the boolean a deterministic oracle."""
+    ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+    pdf = ev.select("event_type", "value").toPandas()
+    by_type = {et: np.sort(g["value"].to_numpy()) for et, g in pdf.groupby("event_type")}
+    for kind, (mk, eps) in {
+        "tdigest": (lambda: qa.tdigest_ops(TDigestConfig(delta=200.0)), 6.0 / 200.0),
+        "kll": (lambda: qa.kll_ops(KLLConfig(k=200)), 2 * 2.9 / 200),
+    }.items():
+        for parts in (1, 5, 17):
+            rows = qa.quantiles(
+                ev.repartition(parts), "value", mk(), Q_GRID,
+                group_cols=("event_type",),
+            ).collect()
+            for r in rows:
+                vals = by_type[r["event_type"]]
+                rank = np.searchsorted(vals, r["estimate"], side="right")
+                assert abs(rank - r["q"] * len(vals)) <= eps * len(vals), (
+                    kind, parts, r["event_type"], r["q"],
+                )
