@@ -123,3 +123,30 @@ def test_collapse_pressure_udaf(spark):
     for q in (0.1, 0.5, 0.9):
         true = exact_quantile(vals, q)
         assert abs(core.quantile(sk, q) - true) / abs(true) <= sk.alpha + 1e-9
+
+
+def test_incremental_update_byte_identical(spark, sf_correct, tmp_path):
+    """Fold new data into a parquet-persisted sketch table: byte-identical
+    to the full rebuild over old+new (merge associativity through a real
+    storage round-trip -- the daily-update pattern at scale)."""
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    old = li.where(F.col("l_orderkey") % 3 != 0)
+    new = li.where(F.col("l_orderkey") % 3 == 0)
+    cfg = DDSketchConfig()
+    groups = ("l_returnflag",)
+    stored_path = str(tmp_path / "sketch_states")
+    udaf.sketch_udaf(old, "l_quantity", cfg, group_cols=groups).write.parquet(stored_path)
+    stored = spark.read.parquet(stored_path)
+    updated = {
+        r["l_returnflag"]: r.asDict()
+        for r in udaf.update_sketch_states(
+            stored, new, "l_quantity", cfg, group_cols=groups
+        ).collect()
+    }
+    full = {
+        r["l_returnflag"]: r.asDict()
+        for r in udaf.sketch_udaf(li, "l_quantity", cfg, group_cols=groups).collect()
+    }
+    assert set(updated) == set(full)
+    for g in full:
+        assert updated[g] == full[g], g
