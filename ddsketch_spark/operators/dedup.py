@@ -400,11 +400,18 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("component").alias("__nbr"))
         )
-        stepped = labels.join(nbr, labels["node"] == nbr["v"], "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("__nbr"), F.col("component"))
-            ).alias("component"),
+        # persist: `stepped` feeds TWO consumers (the doubling self-join and
+        # its parent projection) -- without it the edge-join + groupBy-min
+        # subtree executes twice per iteration
+        stepped = (
+            labels.join(nbr, labels["node"] == nbr["v"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
         )
         # pointer doubling: component <- component(component). Every label
         # is itself a node id (init = own id; min over node-id labels), so
@@ -421,6 +428,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        stepped.unpersist()
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
