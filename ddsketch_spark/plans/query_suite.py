@@ -326,6 +326,29 @@ SELECT 'ALL' AS source, q, bucket_key, est_m6, n FROM ({glob})
 _TRIM_Q = 0.99
 
 
+def _incremental_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance under the driver gate: build states
+    over 2/3 of lineitem, fold the remaining 1/3 in via
+    update_sketch_states, evaluate the quantile grid. The canonical merge
+    makes the updated states byte-identical to a one-shot build, so the
+    oracle is the ordinary full-table quantile SQL -- the driver hash-match
+    therefore proves the incremental path end-to-end."""
+    from ddsketch_spark.operators import sketch_agg as udaf
+
+    df = read_table(spark, sf_dir, "lineitem")
+    old = df.where(F.col("l_orderkey") % 3 != 0)
+    new = df.where(F.col("l_orderkey") % 3 == 0)
+    groups = ("l_returnflag",)
+    states = udaf.sketch_udaf(old, "l_extendedprice", OCFG, group_cols=groups)
+    updated = udaf.update_sketch_states(
+        states, new, "l_extendedprice", OCFG, group_cols=groups
+    )
+    out = agg.quantiles_from_sketch(updated, Q_GRID, group_cols=groups)
+    return out.select(
+        *groups, "q", "bucket_key", sig6_mantissa(F.col("estimate")).alias("est_m6"), "n"
+    )
+
+
 def _trim_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsketch_spark.functions.ddsketch_sql import dds_key, dds_strip_offset
 
@@ -401,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dds_histogram_price_collapsed": _collapsed_spark,
         "dds_delete_quantity": _delete_spark,
         "dds_trim_outliers_by_source": _trim_spark,
+        "dds_incremental_update_quantiles": _incremental_spark,
     }
 
 
@@ -417,4 +441,9 @@ def oracle_sql() -> dict[str, str]:
         "dds_histogram_price_collapsed": _collapsed_oracle_sql(),
         "dds_delete_quantity": _DELETE_SQL,
         "dds_trim_outliers_by_source": _trim_oracle_sql(),
+        # incremental update is byte-identical to the full build, so its
+        # oracle is the ordinary full-table per-group quantile SQL
+        "dds_incremental_update_quantiles": _quantile_oracle_sql(
+            "lineitem", "l_extendedprice", "l_returnflag"
+        ),
     }
