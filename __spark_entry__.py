@@ -36,15 +36,20 @@ def _suites():
         tokens_suite,
     )
 
+    # Ordered so the most recently changed / previously-ungraded suites come
+    # first: the driver grades at most the first 50 registry entries
+    # (VERDICT r4 item 1 — r4's 53-entry registry left the last three
+    # queries ungraded). The registry is also consolidated back to <= 50
+    # entries (plans.approx_suite), so ordering is defense in depth.
     return (
         query_suite,
+        pipeline_suite,
+        sampling_suite,
         approx_suite,
         tokens_suite,
         dedup_suite,
         sim_text_suite,
         multimodal_suite,
-        sampling_suite,
-        pipeline_suite,
     )
 
 

@@ -121,7 +121,7 @@ def main() -> None:
             events, "value", qa.kll_ops(KLLConfig(k=200)), Q_GRID,
             group_cols=("event_type",),
         ).collect(),
-        "hll_users_by_type": lambda: _suite_q("hll_distinct_users_by_type").collect(),
+        "hll_users_rollup": lambda: _suite_q("hll_distinct_users_rollup").collect(),
         "cms_heavy_parts": lambda: _suite_q("cms_heavy_hitter_parts").collect(),
         "bloom_partkeys": lambda: _suite_q("bloom_membership_partkeys").collect(),
         "dedup_lsh_pairs": lambda: _suite_q("dedup_lsh_pairs_verified").collect(),

@@ -144,6 +144,60 @@ def hll_estimate(
     return grouped.applyInPandas(finalize, schema=out_schema)
 
 
+def hll_estimate_rollup(
+    df: DataFrame,
+    value: Column | str,
+    group_col: str,
+    cfg: HLLConfig | None = None,
+    all_label: str = "__ALL__",
+) -> DataFrame:
+    """Grouped AND global distinct-count estimates in ONE input scan.
+
+    The global HLL state is exactly the register-wise max (= HLL merge) of
+    the per-group registers, so ``rollup(idx, group)`` computes both
+    grouping sets in a single shuffle over at most (#groups + 1) x 2^p
+    register rows -- no second scan, no cached intermediate.  The global
+    row carries ``all_label`` in the group column (grouping_id
+    disambiguates, so a genuine NULL group value cannot collide)."""
+    cfg = cfg or HLLConfig()
+    idx, rho = hll_idx_rho(value, cfg)
+    keyed = df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
+    keyed = keyed.where(F.col("idx").isNotNull())
+    # rollup(idx, group) -> grouping sets {(idx, group), (idx,), ()};
+    # gid 0 = per-group registers, gid 1 = global registers, gid 3 = drop
+    regs = (
+        keyed.rollup("idx", group_col)
+        .agg(F.max("rho").alias("rho"), F.grouping_id().alias("__gid"))
+        .where(F.col("__gid") < 3)
+        .select(
+            F.when(F.col("__gid") == 1, F.lit(all_label))
+            .otherwise(F.col(group_col))
+            .alias(group_col),
+            "idx",
+            "rho",
+        )
+    )
+    # the all_label literal makes the group column string-typed
+    out_schema = f"{group_col} string, estimate double, v_zero long, checksum long"
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = hll_core.add_idx_rho(
+            hll_core.empty(cfg), pdf["idx"].to_numpy(), pdf["rho"].to_numpy()
+        )
+        return pd.DataFrame(
+            [
+                {
+                    group_col: pdf[group_col].iloc[0],
+                    "estimate": hll_core.estimate(sk),
+                    "v_zero": cfg.m - len(sk.idxs),
+                    "checksum": hll_core.register_checksum(sk),
+                }
+            ]
+        )
+
+    return regs.groupBy(group_col).applyInPandas(finalize, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Count-min
 # ---------------------------------------------------------------------------
