@@ -303,12 +303,18 @@ def local_topk_candidates(
 
     Memory per task is bounded: running counts are pruned to the top
     ``prune_factor * k_local`` keys whenever they exceed
-    ``2 * prune_factor * k_local``.  Pruning makes the source approximate
-    for keys whose counts accumulate slowly across many batches (same
-    space/recall trade as SpaceSaving); any phi-heavy key with a
-    within-partition concentration above k_local-th place survives.  CMS
-    estimation downstream is unchanged -- candidates only gate WHICH keys
-    are estimated, and estimates keep the no-underestimate guarantee."""
+    ``2 * prune_factor * k_local``.  Pruning is a HEURISTIC, not a
+    guarantee: an evicted key's accumulated count is dropped entirely (no
+    SpaceSaving-style per-key error floor), so recall depends on batch
+    ordering -- a heavy key whose occurrences are spread thinly across many
+    batches can be evicted mid-partition and finish below k_local-th place
+    (ADVICE r4).  In practice heavy keys are heavy within batches too, and
+    ``prune_factor`` widens the survival margin; callers needing a
+    guaranteed floor should raise ``prune_factor`` (eviction error is
+    bounded by the prune threshold / batch count) or use the exact
+    ``distinct`` candidate source.  CMS estimation downstream is unchanged
+    -- candidates only gate WHICH keys are estimated, and estimates keep
+    the no-underestimate guarantee over the supplied candidate set."""
     src = df.select(_colref(value).alias("item")).where(F.col("item").isNotNull())
     item_type = src.schema["item"].dataType.simpleString()
     prune_at = 2 * prune_factor * k_local

@@ -144,13 +144,28 @@ def cosine_topk_fast(
         ]
     )
 
+    dim = pmat.shape[1] if len(prows) else 0
+
     def score_batches(it):
         for batch in it:
             ids = batch.column("__cid").to_numpy(zero_copy_only=False)
-            vec_list = batch.column("__vec").to_pylist()
-            if not vec_list:
+            varr = batch.column("__vec")
+            n = len(varr)
+            if n == 0:
                 continue
-            x = np.asarray(vec_list, dtype=np.float64)
+            # columnar decode (VERDICT r4 item 5): flatten() keeps the list
+            # values as one contiguous Arrow buffer -- no per-row Python
+            # list materialization in the hot loop. Valid only for
+            # non-null fixed-dim embeddings, which the length check
+            # enforces (same raise-on-dim-mismatch contract as the LSH
+            # path).
+            flat = varr.flatten().to_numpy(zero_copy_only=False)
+            if varr.null_count or len(flat) != n * dim:
+                raise ValueError(
+                    f"cosine_topk_fast requires non-null embeddings of "
+                    f"fixed dim {dim}; got {len(flat)} values over {n} rows"
+                )
+            x = flat.astype(np.float64, copy=False).reshape(n, dim)
             cn = np.sqrt((x * x).sum(axis=1))
             cos = (x @ pmat.T) / (cn[:, None] * pnorm[None, :])  # (rows, probes)
             # per-probe partition-local top-k (rows >> k): keep the first k

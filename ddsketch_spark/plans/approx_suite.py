@@ -226,6 +226,12 @@ def _cms_hh_spark(
     # shuffles only the key column; at 100 TB swap in approx_count_distinct
     # + local_topk candidates and a slack margin on rel if the exact pass is
     # too hot (the oracle comparison needs the exact one).
+    # Cache lifetime (ADVICE r4): on the nd <= cap branch `cands` stays
+    # persisted after return -- it feeds the returned lazy DataFrame, so it
+    # cannot be unpersisted here.  It is one key column of <= 2^20 rows
+    # (~MBs); suite runners that execute many queries in one session bound
+    # accumulation with spark.catalog.clearCache() between queries (bench.py
+    # does exactly that).
     cands = (
         df.select(F.col(value).alias("item"))
         .where(F.col("item").isNotNull())

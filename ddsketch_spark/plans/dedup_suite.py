@@ -262,7 +262,12 @@ _DECON_MOD = 41
 def _decontam_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks, vsize = _docs_tokens(spark, sf_dir)
     # the trigram stream feeds two consumers (eval + corpus split): persist
-    # so tokenization + explode run once
+    # so tokenization + explode run once.  Cache lifetime (ADVICE r4): `sh`
+    # stays persisted after return (it feeds the returned lazy DataFrame);
+    # suite runners bound accumulation with spark.catalog.clearCache()
+    # between queries (bench.py does).  At 100 TB pass hits_only=True and
+    # recompute the two shingle streams instead -- a doc-shingle cache is
+    # data-sized and the recompute is one extra columnar scan.
     sh = dd.doc_shingles(toks, "tokens", 3, vsize).persist()
     eval_sh = sh.where(F.col("doc_id") % _DECON_MOD == 0)
     corpus_sh = sh.where(F.col("doc_id") % _DECON_MOD != 0)

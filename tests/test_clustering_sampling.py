@@ -173,3 +173,24 @@ def test_split_cuts_match_assign(spark, ids_df):
     # the exported cutpoints reproduce the assignment (the SQL oracle path)
     cuts = smp.split_cuts((0.8, 0.1, 0.1))
     assert len(cuts) == 2 and cuts[0] < cuts[1]
+
+
+def test_cc_converges_exactly_at_budget(spark):
+    """A graph whose last label change lands on the max_iter-th round must
+    succeed: fixpoint detection runs one confirming no-op round OUTSIDE the
+    changing-round budget (ADVICE r4). A single edge converges in exactly
+    one changing round, so max_iter=1 must work."""
+    stats: dict = {}
+    comp = _cc(spark, [1, 2], [(1, 2)], max_iter=1, stats=stats)
+    assert comp == {1: 1, 2: 1}
+    assert stats["converged"] is True
+
+
+def test_cc_already_converged_with_max_iter_one(spark):
+    comp = _cc(spark, [4, 8], [], max_iter=1)
+    assert comp == {4: 4, 8: 8}
+
+
+def test_cc_max_iter_below_one_raises(spark):
+    with pytest.raises(ValueError, match="max_iter"):
+        _cc(spark, [1, 2], [(1, 2)], max_iter=0)

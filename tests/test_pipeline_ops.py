@@ -403,3 +403,82 @@ def test_decontaminate_flags_planted_overlap(spark):
         for r in dd.decontaminate(c_sh, e_sh, corpus.select("doc_id")).collect()
     }
     assert out == {1: (2, True), 2: (0, False), 3: (1, True)}
+
+
+def test_decontaminate_hits_only_matches_filtered_full(spark):
+    """hits_only=True (the 100 TB form: no doc_id-keyed left join over the
+    whole corpus) is row-for-row the full form filtered to n_hits > 0."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [5, 6, 7, 8, 9]),
+            (2, [20, 21, 22, 23]),
+            (3, [6, 7, 8, 6, 7, 8]),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, [6, 7, 8, 9, 10])], "doc_id long, tokens array<int>"
+    )
+    c_sh = dd.doc_shingles(corpus, "tokens", 3, 30)
+    e_sh = dd.doc_shingles(eval_docs, "tokens", 3, 30)
+    full = dd.decontaminate(c_sh, e_sh, corpus.select("doc_id"))
+    hits = dd.decontaminate(c_sh, e_sh, hits_only=True)
+    want = sorted(tuple(r) for r in full.where(F.col("n_hits") > 0).collect())
+    got = sorted(tuple(r) for r in hits.collect())
+    assert got == want == [(1, 2, True), (3, 1, True)]
+
+
+def test_decontaminate_requires_corpus_docs_unless_hits_only(spark):
+    sh = spark.createDataFrame([(1, 7)], "doc_id long, shingle long")
+    with pytest.raises(ValueError, match="corpus_docs"):
+        dd.decontaminate(sh, sh).collect()
+
+
+def test_jaccard_hot_shingle_guard(spark):
+    """A boilerplate shingle shared by every doc would contribute O(f^2)
+    rows in one join task; the document-frequency cap drops it from the
+    intersection join (VERDICT r4 item 3). Pairs that share ONLY the hot
+    shingle vanish; pairs with other overlap keep exact sizes and lose
+    exactly the hot shingle from inter (jaccard underestimates, never
+    overestimates). A cap at or above the max df reproduces the uncapped
+    output exactly."""
+    rows = []
+    for d in range(12):
+        rows.append((d, 999))            # boilerplate: df = 12
+        rows.append((d, 1000 + d // 2))  # shared with the partner doc only
+        rows.append((d, 2000 + d))       # unique
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+
+    capped = dd.jaccard_pairs(sh, max_shingle_df=4)
+    got = {(r["doc_a"], r["doc_b"]): r for r in capped.collect()}
+    assert set(got) == {(2 * i, 2 * i + 1) for i in range(6)}
+    for r in got.values():
+        assert (r["inter"], r["size_a"], r["size_b"]) == (1, 3, 3)
+        assert r["jaccard"] == pytest.approx(1 / 5)
+
+    uncapped = dd.jaccard_pairs(sh, max_shingle_df=None)
+    assert uncapped.count() == 12 * 11 // 2  # every pair shares 999
+    wide = dd.jaccard_pairs(sh, max_shingle_df=12)
+    assert sorted(tuple(r) for r in wide.collect()) == sorted(
+        tuple(r) for r in uncapped.collect()
+    )
+
+
+def test_jaccard_hot_shingle_guard_candidate_branch(spark):
+    """Same guard on the candidate-bounded branch: the cap applies to the
+    document frequency within the candidate-filtered streams."""
+    rows = []
+    for d in range(8):
+        rows.append((d, 999))
+        rows.append((d, 3000 + d % 4))  # d and d+4 share one real shingle
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+    pairs = spark.createDataFrame(
+        [(d, d + 4) for d in range(4)], "doc_a long, doc_b long"
+    )
+    capped = dd.jaccard_pairs(sh, pairs=pairs, max_shingle_df=3)
+    got = {(r["doc_a"], r["doc_b"]): r["inter"] for r in capped.collect()}
+    assert got == {(d, d + 4): 1 for d in range(4)}
+    full = dd.jaccard_pairs(sh, pairs=pairs, max_shingle_df=None)
+    assert {(r["doc_a"], r["doc_b"]): r["inter"] for r in full.collect()} == {
+        (d, d + 4): 2 for d in range(4)
+    }
