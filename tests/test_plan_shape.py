@@ -154,3 +154,36 @@ def test_compacting_rank_pass_broadcasts(spark, sf_correct):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hll_rollup_single_scan_and_expand(spark, sf_correct):
+    """hll_estimate_rollup computes grouped AND global registers in ONE
+    input pass: the plan must contain exactly one parquet scan (the rollup
+    Expand feeds both grouping sets) and a map-side partial max before the
+    exchange. Output carries both the per-group rows and the '__ALL__' row,
+    and the global registers equal the register-wise max of re-running the
+    plain grouped/global estimators."""
+    ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+    out = aops.hll_estimate_rollup(ev, "user_id", "event_type")
+    explained = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain prints each node once in the tree and once in the
+    # detail section -- count numbered node headers, not substrings
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", explained)) == 1, explained
+    assert "Expand" in explained  # rollup grouping sets, one pass
+    assert "partial_max" in explained
+    rows = {r["event_type"]: r for r in out.collect()}
+    assert "__ALL__" in rows
+    glob = aops.hll_estimate(ev, "user_id").collect()[0]
+    assert rows["__ALL__"]["estimate"] == glob["estimate"]
+    assert rows["__ALL__"]["checksum"] == glob["checksum"]
+    grouped = {
+        r["event_type"]: r
+        for r in aops.hll_estimate(ev, "user_id", group_cols=("event_type",)).collect()
+    }
+    for g, r in grouped.items():
+        assert rows[g]["checksum"] == r["checksum"]
+        assert rows[g]["estimate"] == r["estimate"]
