@@ -209,3 +209,57 @@ def test_bloom_spark_state_roundtrip(spark):
     want = bloom_core.add(bloom_core.empty(cfg), vals)
     assert np.array_equal(got.words, want.words)
     assert got.n == want.n == 2000
+
+
+# ---------------------------------------------------------------------------
+# local_topk_candidates Misra-Gries core (ADVICE r4: quantified guarantee)
+# ---------------------------------------------------------------------------
+
+def _mg_batches(spec):
+    """spec: list of dicts {key: count}; yields one pandas batch each."""
+    import pandas as pd
+
+    for d in spec:
+        items = []
+        for k, c in d.items():
+            items.extend([k] * c)
+        yield pd.DataFrame({"item": items})
+
+
+def test_local_topk_no_prune_is_exact_topk():
+    from ddsketch_spark.operators.approx_agg import local_topk_pandas
+
+    spec = [{1: 5, 2: 3}, {3: 4, 2: 2}, {4: 1}]
+    got = set(local_topk_pandas(_mg_batches(spec), k_local=2, prune_factor=8))
+    assert got == {1, 2}  # true counts 5, 5, 4, 1 -> top-2 = {1, 2}
+
+
+def test_local_topk_mg_guarantee_under_adversarial_churn():
+    """The Misra-Gries bound: any key with true within-partition count >=
+    N/(cap+1) + max-other-count must be emitted no matter how its
+    occurrences interleave with churning one-off keys. Key 0 arrives 10 per
+    batch amid 12 fresh one-off keys per batch (dozens of prunes at
+    cap=4); true(0)=500 >= N/5 + 1 = 221, so it must survive."""
+    from ddsketch_spark.operators.approx_agg import local_topk_pandas
+
+    spec = []
+    uid = 10_000
+    for _ in range(50):
+        d = {0: 10}
+        for j in range(12):
+            d[uid + j] = 1
+        uid += 12
+        spec.append(d)
+    got = local_topk_pandas(_mg_batches(spec), k_local=2, prune_factor=2)
+    assert 0 in set(got)
+    assert len(got) <= 2 * 2 * 2  # bounded by 2*cap even with floor widening
+
+
+def test_local_topk_output_bounded_by_capacity():
+    from ddsketch_spark.operators.approx_agg import local_topk_pandas
+
+    # pure churn: every key is a one-off; emission must stay within the
+    # prune capacity no matter how large the floor grows
+    spec = [{i * 100 + j: 1 for j in range(20)} for i in range(40)]
+    got = local_topk_pandas(_mg_batches(spec), k_local=2, prune_factor=2)
+    assert len(got) <= 2 * 2 * 2
