@@ -49,6 +49,10 @@ def main() -> None:
             timings[name] = round(time.monotonic() - t0, 3)
         except Exception as exc:  # keep driving the rest; report at the end
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # several plan functions persist a shared subtree that outlives
+        # their returned DataFrame (documented at each site); clear between
+        # queries so a full-suite run has bounded block-manager footprint
+        spark.catalog.clearCache()
         print(
             f"{name:38s} {timings.get(name, -1):8.3f}s "
             f"{counts.get(name, -1):7d} rows "
